@@ -1,0 +1,154 @@
+"""U-Net geometry, skip variants, init schemes (reference network.py:8-192)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.config import ModelConfig
+from tpu_unet.models import UNet, center_crop_or_pad
+
+
+def _tiny_cfg(**kw):
+    # base_width=4 keeps CPU tests fast; geometry is width-independent.
+    return ModelConfig(base_width=4, **kw)
+
+
+@pytest.mark.parametrize("variant", ["paper", "parity"])
+def test_forward_shape_188(variant):
+    # Smallest valid size: l=8 -> input 188, output 4.
+    cfg = _tiny_cfg(skip_variant=variant)
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 4, 4, 2)
+    assert y.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("variant", ["paper", "parity"])
+def test_forward_shape_380(variant):
+    cfg = _tiny_cfg(skip_variant=variant)
+    model = UNet(cfg)
+    x = jnp.zeros((2, 380, 380, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = jax.eval_shape(lambda p, x: model.apply(p, x), params, x)
+    assert y.shape == (2, 196, 196, 2)
+
+
+def test_param_count_full_width():
+    # The paper U-Net has ~31M parameters; check ours matches the reference
+    # topology's exact count (23 learned conv layers, network.py:23-58).
+    cfg = ModelConfig()
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+
+    def count(p):
+        return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p))
+
+    total = count(params)
+
+    def torch_count():
+        # Re-derive from the reference layer list (network.py:23-58).
+        convs = [
+            (1, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+            (256, 512), (512, 512), (512, 1024), (1024, 1024),  # encoder+bottleneck
+            (1024, 512), (512, 512), (512, 256), (256, 256),
+            (256, 128), (128, 128), (128, 64), (64, 64),        # decoder 3x3
+        ]
+        ups = [(1024, 512), (512, 256), (256, 128), (128, 64)]
+        n = sum(i * o * 9 + o for i, o in convs)
+        n += sum(i * o * 4 + o for i, o in ups)
+        n += 64 * 2 * 1 + 2  # 1x1 head
+        return n
+
+    assert total == torch_count()
+
+
+def test_width_multiplier():
+    cfg = _tiny_cfg(width_mult=2)
+    assert cfg.widths == (8, 16, 32, 64, 128)
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    k = params["params"]["enc0_conv1"]["kernel"]
+    assert k.shape == (3, 3, 1, 8)
+
+
+def test_bf16_compute_f32_logits():
+    cfg = _tiny_cfg(compute_dtype="bfloat16")
+    model = UNet(cfg)
+    x = jnp.ones((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.dtype == jnp.float32
+    # Params stay f32.
+    assert params["params"]["enc0_conv1"]["kernel"].dtype == jnp.float32
+
+
+def test_paper_init_statistics():
+    cfg = ModelConfig(base_width=64, init_scheme="paper")
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(42), x)["params"]
+    # enc1_conv2: fan_in = 128, k=3 -> std = sqrt(2/(9*128))
+    k = np.asarray(params["enc1_conv2"]["kernel"])
+    assert abs(k.std() - math.sqrt(2 / (9 * 128))) / math.sqrt(2 / (9 * 128)) < 0.05
+    # biases zero
+    assert np.all(np.asarray(params["enc1_conv2"]["bias"]) == 0)
+
+
+def test_parity_init_statistics():
+    cfg = ModelConfig(base_width=64, init_scheme="parity")
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(42), x)["params"]
+    # First conv: std = sqrt(2) (network.py:70).
+    k0 = np.asarray(params["enc0_conv1"]["kernel"])
+    # only 9*64 samples -> loose tolerance
+    assert abs(k0.std() - math.sqrt(2)) / math.sqrt(2) < 0.15
+    # enc0_conv2 (network.py:71): std = 2/sqrt(64*9) = 1/12.
+    k1 = np.asarray(params["enc0_conv2"]["kernel"])
+    assert abs(k1.std() - 2 / math.sqrt(64 * 9)) / (2 / math.sqrt(64 * 9)) < 0.05
+    # dec3_conv1 (network.py:87): std = 2/sqrt(512*9 + 512*4).
+    kd = np.asarray(params["dec3_conv1"]["kernel"])
+    expected = 2 / math.sqrt(512 * 13)
+    assert abs(kd.std() - expected) / expected < 0.05
+    # biases torch-default uniform, bound 1/sqrt(fan_in*k^2)
+    b = np.asarray(params["enc0_conv2"]["bias"])
+    bound = 1 / math.sqrt(64 * 9)
+    assert np.all(np.abs(b) <= bound) and b.std() > 0
+
+
+def test_center_crop_or_pad():
+    a = jnp.arange(36, dtype=jnp.float32).reshape(1, 6, 6, 1)
+    # crop 6 -> 2 center
+    c = center_crop_or_pad(a, (2, 2))
+    np.testing.assert_array_equal(np.asarray(c)[0, :, :, 0],
+                                  np.arange(36).reshape(6, 6)[2:4, 2:4])
+    # pad 6 -> 10 zero border
+    p = np.asarray(center_crop_or_pad(a, (10, 10)))
+    assert p.shape == (1, 10, 10, 1)
+    np.testing.assert_array_equal(p[0, 2:8, 2:8, 0], np.arange(36).reshape(6, 6))
+    assert p[0, 0].sum() == 0
+
+
+def test_translation_consistency():
+    # Fully-convolutional with valid convs + center-cropped skips (paper
+    # variant): a whole-image pass and an overlap-tile pass must agree on the
+    # shared output region. (The parity variant's zero-padded skips break
+    # exact translation equivariance — part of the reference deviation,
+    # SURVEY.md §2.1.)
+    cfg = _tiny_cfg(skip_variant="paper")
+    model = UNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 204, 204, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(params, x)           # 204 -> 20
+    shifted = model.apply(params, x[:, 16:, 16:, :])  # 188 -> 4
+    np.testing.assert_allclose(
+        np.asarray(full)[:, 16:20, 16:20, :], np.asarray(shifted), rtol=2e-2, atol=2e-4
+    )

@@ -1,0 +1,105 @@
+"""Per-pixel loss weight maps, fully on device.
+
+Replaces the reference's host-side per-batch computation
+(``functions.py:7-117``, invoked inside the training step at
+``trainer.py:68-73`` — its single biggest throughput sink after augmentation,
+SURVEY.md §2.8/§3.1). Here both maps are jitted, vmapped over the batch, and
+fuse into the training step, so the label tensor never leaves HBM.
+
+* `class_balance` — Eq. (2)'s first term only (PhC / ISBI): background weight
+  n_cell / n_background, cell weight 1 (``functions.py:82-117``).
+* `weighted_map` — the full HeLa map: class balance + the border-emphasis term
+  w0 * exp(-(d1+d2)^2 / (2 sigma^2)) on background pixels, where d1/d2 are the
+  exact Euclidean distances to the two nearest cells (``functions.py:7-78``).
+  Connected components and the per-object exact EDT run on device
+  (ops/cc.py, ops/edt.py) with a static `max_objects` plane bound.
+
+Documented deviations from the reference (all of which *crash* or silently
+corrupt in the original; SURVEY.md §2.8-2.9):
+* single-class ground truth: the reference IndexErrors on ``counts[1]``; here
+  an all-cell or all-background map degrades to all-ones class weights.
+* the reference's ``w_c = torch.empty_like(gt)`` in `weighted_map` is an
+  integer tensor, so the background class weight is *truncated* to an int
+  before use; `parity_int_wc=True` reproduces that, default keeps floats
+  (the intended math).
+* d2 is 0 (not inf) when only one object exists, matching ``functions.py:64``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.ops.cc import component_planes
+from tpu_unet.ops.edt import edt
+
+
+def _class_weights(gt: jax.Array) -> jax.Array:
+    """Background pixels get n_cell/n_bg, cell pixels 1.0 ([H, W] f32).
+    Degrades to all-ones when either class is absent."""
+    g = gt != 0
+    n_cell = jnp.sum(g).astype(jnp.float32)
+    n_bg = jnp.sum(~g).astype(jnp.float32)
+    bg_w = jnp.where(n_bg > 0, n_cell / jnp.maximum(n_bg, 1.0), 1.0)
+    w = jnp.where(g, 1.0, bg_w)
+    return jnp.where((n_cell > 0) & (n_bg > 0), w, jnp.ones_like(w))
+
+
+def _class_balance_single(gt: jax.Array) -> jax.Array:
+    return _class_weights(gt)
+
+
+def class_balance(gt_batch: jax.Array) -> jax.Array:
+    """[B, H, W] binary labels -> [B, H, W] f32 class-frequency weights."""
+    return jax.vmap(_class_balance_single)(gt_batch)
+
+
+def _weighted_map_single(gt: jax.Array, w0: float, sigma2: float,
+                         max_objects: int, parity_int_wc: bool) -> jax.Array:
+    fg = gt != 0
+    w_c = _class_weights(gt)
+    if parity_int_wc:
+        # Reference quirk: w_c assigned into an integer tensor (functions.py:37)
+        w_c = jnp.trunc(w_c)
+
+    planes, num = component_planes(fg, max_objects)
+    # Distance from every pixel to each object; empty planes give +inf.
+    dists = jax.vmap(edt)(planes)                 # [max_objects, H, W]
+    # Two nearest objects per pixel. A full sort is O(K log K) per pixel; a
+    # two-level min is cheaper and exact (reference sorts then takes [0], [1]).
+    d1 = jnp.min(dists, axis=0)
+    arg1 = jnp.argmin(dists, axis=0)
+    masked = jnp.where(
+        jnp.arange(dists.shape[0])[:, None, None] == arg1[None, :, :], jnp.inf, dists
+    )
+    d2_raw = jnp.min(masked, axis=0)
+    # Reference functions.py:64: with a single object, d2 = 0 (not inf).
+    d2 = jnp.where(num > 1, d2_raw, 0.0)
+
+    s = d1 + d2
+    border = w0 * jnp.exp(-(s * s) / (2.0 * sigma2))
+    border = jnp.where(jnp.isfinite(border), border, 0.0)  # no objects at all
+    w_d = jnp.where(fg, 0.0, border)              # background pixels only
+    return w_c + w_d
+
+
+def weighted_map(gt_batch: jax.Array, w0: float = 20.0, sigma2: float = 25.0,
+                 max_objects: int = 32, parity_int_wc: bool = False) -> jax.Array:
+    """[B, H, W] binary labels -> [B, H, W] f32 distance-transform weight maps
+    (Ronneberger et al. Eq. (2); w0=20, sigma^2=25 per ``functions.py:29-30``)."""
+    fn = partial(_weighted_map_single, w0=w0, sigma2=sigma2,
+                 max_objects=max_objects, parity_int_wc=parity_int_wc)
+    return jax.vmap(fn)(gt_batch)
+
+
+def make_weight_fn(mode: str, **kwargs):
+    """'distance' | 'class_balance' -> batch weight function (SURVEY.md §2.9:
+    via the reference CLI the distance path is dead code because of the
+    ``is``-comparison bug; here it is keyed correctly per dataset)."""
+    if mode == "distance":
+        return partial(weighted_map, **kwargs)
+    if mode == "class_balance":
+        return class_balance
+    raise ValueError(f"unknown weight mode: {mode}")

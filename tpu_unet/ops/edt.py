@@ -1,0 +1,86 @@
+"""Exact Euclidean distance transform (EDT) on device.
+
+TPU-native replacement for ``cv.distanceTransform(x, cv.DIST_L2, maskSize=0)``
+as used by the reference weight maps (``functions.py:58``; the ``uint8 - 1``
+trick there makes object pixels the zero set, so the transform measures the
+distance from every pixel to the nearest object pixel).
+
+Algorithm: exact two-phase separable EDT.
+
+Phase 1 (rows) is fully data-parallel via cumulative min/max scans: for each
+pixel, the distance to the nearest object pixel *within its row* comes from a
+forward cummax of object indices and a backward cummin.
+
+Phase 2 (columns) evaluates D^2[i, j] = min_r ( g[r, j]^2 + (i - r)^2 )
+exactly with a `lax.scan` over source rows r, keeping a running elementwise
+minimum over the whole [H, W] plane. O(H^2 W) work but branch-free, fully
+vectorized VPU arithmetic with static shapes — the TPU-friendly formulation of
+Felzenszwalb's lower-envelope pass (which is inherently sequential and
+data-dependent). Exactness: phase 2 scans *all* source rows, so no envelope
+pruning is needed for correctness.
+
+Pixels with no object anywhere in the plane get +inf (the weight-map consumer
+turns exp(-inf) into 0; see losses/weights.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _row_distance(mask: jax.Array) -> jax.Array:
+    """Per-row 1D distance to the nearest True pixel in the same row.
+
+    mask: [H, W] bool. Returns [H, W] f32 (inf where the row has no True).
+    """
+    h, w = mask.shape
+    col = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Nearest True at or to the left: running max of column index over Trues.
+    left = lax.cummax(jnp.where(mask, col, -1), axis=1)
+    d_left = jnp.where(left >= 0, (col - left).astype(jnp.float32), jnp.inf)
+    # Nearest True at or to the right: running min (reversed cummax trick).
+    big = jnp.int32(2 ** 30)
+    right = lax.cummin(jnp.where(mask, col, big), axis=1, reverse=True)
+    d_right = jnp.where(right < big, (right - col).astype(jnp.float32), jnp.inf)
+    return jnp.minimum(d_left, d_right)
+
+
+def _column_pass(g: jax.Array) -> jax.Array:
+    """Exact (min, +) reduction over source rows.
+
+    g: [H, W] f32 per-row distances (phase 1). Returns [H, W] f32 squared
+    Euclidean distances D^2[i, j] = min_r (g[r, j]^2 + (i - r)^2).
+    """
+    h, w = g.shape
+    g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
+    rows = jnp.arange(h, dtype=jnp.float32)
+
+    def step(acc, r):
+        row_g2, r_idx = r
+        di = rows - r_idx                       # [H]
+        cand = di * di
+        cand = cand[:, None] + row_g2[None, :]  # [H, W]
+        return jnp.minimum(acc, cand), None
+
+    init = jnp.full((h, w), jnp.inf, dtype=jnp.float32)
+    acc, _ = lax.scan(step, init, (g2, rows))
+    return acc
+
+
+def edt(mask: jax.Array) -> jax.Array:
+    """Exact Euclidean distance from every pixel to the nearest True pixel.
+
+    mask: [H, W] bool (the "object"). Returns [H, W] f32; 0 on the object,
+    +inf if the mask is empty. Matches ``cv.distanceTransform`` with
+    ``DIST_L2, maskSize=0`` on the complement encoding used by the reference.
+    """
+    g = _row_distance(mask)
+    d2 = _column_pass(g)
+    return jnp.sqrt(d2)
+
+
+def edt_batch(masks: jax.Array) -> jax.Array:
+    """[N, H, W] bool -> [N, H, W] f32, vmapped exact EDT."""
+    return jax.vmap(edt)(masks)

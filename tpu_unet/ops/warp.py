@@ -1,0 +1,122 @@
+"""Geometric warps on device: Gaussian smoothing, bilinear resampling,
+rotation, and Simard-style elastic deformation fields.
+
+TPU-native replacements for the reference's host-side scipy pipeline
+(SURVEY.md §2.13):
+* ``scipy.ndimage.gaussian_filter(x, sigma, mode='constant')``
+  (``data.py:238-239``) -> separable 1D convolutions with the same truncated
+  kernel (truncate=4.0, radius = int(4*sigma + 0.5)).
+* ``scipy.ndimage.map_coordinates(x, coords, order=1)`` (``data.py:245``)
+  -> ``jax.scipy.ndimage.map_coordinates``.
+* ``scipy.ndimage.rotate`` (``data.py:116-117``) -> rotation as a single
+  bilinear gather about the center. Deviation (documented): the reference uses
+  scipy's default cubic-spline interpolation; we use bilinear, which composes
+  into one fused gather and changes only augmentation noise, not the loss/eval
+  math covered by the bit-faithfulness target.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_unet.ops.pad import fold_reflect
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """Normalized 1D Gaussian taps matching scipy.ndimage._gaussian_kernel1d
+    (order 0): radius = int(truncate * sigma + 0.5)."""
+    radius = int(truncate * sigma + 0.5)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return (k / jnp.sum(k)).astype(jnp.float32)
+
+
+def gaussian_filter(img: jax.Array, sigma: float, truncate: float = 4.0) -> jax.Array:
+    """Separable Gaussian blur of a 2D image with constant-0 boundary,
+    matching ``scipy.ndimage.gaussian_filter(img, sigma, mode='constant')``."""
+    k = gaussian_kernel1d(sigma, truncate)
+    r = (k.shape[0] - 1) // 2
+    x = img.astype(jnp.float32)[None, None, :, :]           # NCHW
+    kv = k[None, None, :, None]                              # OIHW, vertical taps
+    kh = k[None, None, None, :]                              # horizontal taps
+    dn = lax.conv_dimension_numbers(x.shape, kv.shape, ("NCHW", "OIHW", "NCHW"))
+    x = lax.conv_general_dilated(x, kv, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn)
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn)
+    return x[0, 0]
+
+
+def map_coordinates_bilinear(img: jax.Array, coords: Tuple[jax.Array, jax.Array],
+                             cval: float = 0.0) -> jax.Array:
+    """Bilinear resampling with constant fill, matching
+    ``scipy.ndimage.map_coordinates(img, coords, order=1, mode='constant')``.
+
+    scipy hard-fills `cval` for any coordinate outside [0, n-1] (no partial
+    blending at the border band), whereas jax's implementation blends `cval`
+    as a virtual neighbour — so we mask explicitly to scipy semantics.
+    """
+    ci, cj = coords
+    out = jax.scipy.ndimage.map_coordinates(
+        img.astype(jnp.float32), [ci, cj], order=1, mode="constant", cval=cval,
+    )
+    h, w = img.shape
+    inside = (ci >= 0) & (ci <= h - 1) & (cj >= 0) & (cj <= w - 1)
+    return jnp.where(inside, out, cval)
+
+
+def rotation_coords(out_size: int, in_shape: Tuple[int, int], angle_deg: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Source coordinates sampling an `out_size`^2 window rotated by
+    `angle_deg` (counterclockwise, scipy convention) about the input center.
+
+    The output grid is centered on the input; equivalent to the reference's
+    pad -> ``scipy.rotate(reshape=True)`` -> center-crop chain
+    (``data.py:109-124``) when combined with reflect folding of the source
+    coordinates (see `rotate_about_center`).
+    """
+    h, w = in_shape
+    theta = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ci, cj = (h - 1) / 2.0, (w - 1) / 2.0
+    oi = jnp.arange(out_size, dtype=jnp.float32) - (out_size - 1) / 2.0
+    oj = jnp.arange(out_size, dtype=jnp.float32) - (out_size - 1) / 2.0
+    gi, gj = jnp.meshgrid(oi, oj, indexing="ij")
+    # Inverse rotation: output pixel pulls from R(-theta) * p.
+    src_i = cos * gi + sin * gj + ci
+    src_j = -sin * gi + cos * gj + cj
+    return src_i, src_j
+
+
+def rotate_about_center(img: jax.Array, angle_deg: jax.Array, out_size: int) -> jax.Array:
+    """Rotate `img` about its center and return the central `out_size`^2
+    window, reflect-folding source coordinates (multi-bounce, so the virtual
+    reflect padding of ``data.py:109-112`` never materializes)."""
+    si, sj = rotation_coords(out_size, img.shape, angle_deg)
+    si = fold_reflect(si, img.shape[0])
+    sj = fold_reflect(sj, img.shape[1])
+    return map_coordinates_bilinear(img, (si, sj))
+
+
+def elastic_fields(key: jax.Array, shape: Tuple[int, int], alpha: float,
+                   sigma: float) -> Tuple[jax.Array, jax.Array]:
+    """Simard-2003 elastic displacement fields, matching reference
+    ``data.py:238-239``: dx = gaussian_filter(U(-1,1), sigma, constant) * alpha."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, shape, jnp.float32, -1.0, 1.0)
+    u2 = jax.random.uniform(k2, shape, jnp.float32, -1.0, 1.0)
+    dx = gaussian_filter(u1, sigma) * alpha
+    dy = gaussian_filter(u2, sigma) * alpha
+    return dx, dy
+
+
+def elastic_warp(img: jax.Array, dx: jax.Array, dy: jax.Array) -> jax.Array:
+    """Apply a displacement field: out[i, j] = img[i + dx, j + dy] bilinear,
+    constant-0 outside (reference ``data.py:242-245``)."""
+    h, w = img.shape
+    gi, gj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return map_coordinates_bilinear(img, (gi + dx, gj + dy))
