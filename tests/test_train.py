@@ -1,0 +1,145 @@
+"""Training engine: plateau scheduler (golden vs torch), SGD parity,
+end-to-end fit on the synthetic fixture, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.config import (
+    AugmentConfig,
+    DatasetConfig,
+    LossConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from tpu_unet.data import synthetic_dataset
+from tpu_unet.train import Trainer, plateau_init, plateau_step
+from tpu_unet.train.optimizer import make_optimizer, set_learning_rate
+
+
+# ------------------------------------------------------- plateau scheduler
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_plateau_matches_torch(seed):
+    cfg = OptimConfig(lr=0.1, plateau_factor=0.5, plateau_patience=3,
+                      plateau_threshold=1e-3, plateau_eps=1e-8)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=cfg.lr)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=cfg.plateau_factor, patience=cfg.plateau_patience,
+        threshold=cfg.plateau_threshold, threshold_mode="rel", eps=cfg.plateau_eps,
+    )
+    state = plateau_init(cfg)
+    rng = np.random.RandomState(seed)
+    metric = 1.0
+    for step in range(60):
+        # plateau-ish sequence: mostly flat with occasional improvements
+        if rng.rand() < 0.15:
+            metric *= 0.8
+        sched.step(metric)
+        state, _ = plateau_step(state, metric, cfg)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert state.lr == pytest.approx(torch_lr, rel=1e-9), f"step {step}"
+
+
+def test_plateau_eps_floor():
+    cfg = OptimConfig(lr=1e-7, plateau_factor=0.1, plateau_patience=0,
+                      plateau_eps=1e-7)
+    state = plateau_init(cfg)
+    state, _ = plateau_step(state, 1.0, cfg)
+    state, reduced = plateau_step(state, 1.0, cfg)
+    # lr*0.9 decrement below eps -> no change (torch eps semantics)
+    assert state.lr == 1e-7 and not reduced
+
+
+# ------------------------------------------------------------- SGD parity
+
+
+def test_sgd_momentum_matches_torch():
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    grads = [np.random.RandomState(i + 1).randn(4, 3).astype(np.float32)
+             for i in range(5)]
+
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([p], lr=0.01, momentum=0.99)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+
+    cfg = OptimConfig(lr=0.01, momentum=0.99)
+    tx = make_optimizer(cfg)
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates
+    np.testing.assert_allclose(np.asarray(params), p.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_set_learning_rate():
+    tx = make_optimizer(OptimConfig(lr=0.5))
+    params = jnp.zeros(3)
+    state = tx.init(params)
+    state = set_learning_rate(state, 0.05)
+    updates, _ = tx.update(jnp.ones(3), state, params)
+    np.testing.assert_allclose(np.asarray(updates), -0.05, rtol=1e-6)
+
+
+# ------------------------------------------------------- end-to-end fit
+
+
+def test_fit_synthetic_end_to_end(tmp_path):
+    # Small but real: geometry floors the network input at 380 (l=20), so use
+    # a width-2 model to keep the CPU step cheap.
+    data = synthetic_dataset(n_images=4, h=64, w=64, n_cells=3, crop=20, seed=0)
+    ds = DatasetConfig(name="synthetic", crop=20, metric="iou",
+                       weight_mode="class_balance", goal=0.999,
+                       goal_direction="max")
+    aug = AugmentConfig(crop=20)
+    trainer = Trainer(
+        ds,
+        model_cfg=ModelConfig(base_width=2),
+        train_cfg=TrainConfig(batch_size=2, epochs=2, checkpoint_every=1),
+        aug_cfg=aug,
+        loss_cfg=LossConfig(weight_mode="class_balance"),
+        out_dir=str(tmp_path / "run"),
+        verbose=False,
+    )
+    history = trainer.fit(data, data, epochs=2)
+    assert len(history["loss"]) == 3  # epochs 0..2
+    assert all(np.isfinite(history["loss"]))
+    # progress artifact contract (reference trainer.py:178-183)
+    for f in ["train_eval_iou.out", "loss.out", "loss_val.out"]:
+        assert os.path.exists(tmp_path / "run" / "progress" / f)
+    # checkpoints
+    assert os.path.isdir(tmp_path / "run" / "models" / "latest")
+
+
+def test_fit_resume(tmp_path):
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20, seed=1)
+    ds = DatasetConfig(name="synthetic", crop=20, metric="iou",
+                       weight_mode="class_balance", goal=0.999,
+                       goal_direction="max")
+    kwargs = dict(
+        model_cfg=ModelConfig(base_width=2),
+        train_cfg=TrainConfig(batch_size=2, epochs=1, checkpoint_every=1),
+        aug_cfg=AugmentConfig(crop=20),
+        loss_cfg=LossConfig(weight_mode="class_balance"),
+        out_dir=str(tmp_path / "run"),
+        verbose=False,
+    )
+    t1 = Trainer(ds, **kwargs)
+    t1.fit(data, data, epochs=1)
+    # Resume continues from epoch 2 without error and extends history.
+    t2 = Trainer(ds, **kwargs)
+    hist = t2.fit(data, data, epochs=3, resume=True)
+    assert len(hist["loss"]) == 2  # epochs 2..3 in the new writer

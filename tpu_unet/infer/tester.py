@@ -1,0 +1,91 @@
+"""Evaluation driver: per-image inference, prediction export, metric
+aggregation — capability-equivalent of reference ``tester.py:13-58``.
+
+Fixes over the reference (documented): metrics are true means over all images
+(the reference discards its accumulation, ``tester.py:42``, so the reported
+mean/std is the first image only); prediction export uses PIL TIFFs with the
+same directory contract ({out}/images, /preds, /labels; ``tester.py:19-34``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpu_unet.data.ingest import SegmentationData, square_crop
+from tpu_unet.infer.tiles import TileInference
+from tpu_unet.losses.metrics import evaluation_metrics
+
+
+def _save_tiff(path: str, array: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.asarray(array)
+    if arr.dtype != np.uint8:
+        lo, hi = float(arr.min()), float(arr.max())
+        arr = ((arr - lo) / (hi - lo) * 255.0 if hi > lo else arr * 0.0).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def export_predictions(output_dir: str, idx: int, image: np.ndarray,
+                       label: np.ndarray, pred: np.ndarray) -> None:
+    """Same artifact contract as reference ``tester.py:19-34``."""
+    for sub in ("images", "preds", "labels"):
+        os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
+    _save_tiff(os.path.join(output_dir, "images", f"image{idx}.tif"), image)
+    _save_tiff(os.path.join(output_dir, "labels", f"label{idx}.tif"), label)
+    _save_tiff(os.path.join(output_dir, "preds", f"pred{idx}.tif"), pred)
+
+
+def evaluate(
+    model,
+    params,
+    data: SegmentationData,
+    output_dir: Optional[str] = None,
+    tile_out: Optional[int] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Evaluate on gold-truth frames; returns mean/std IoU and pixel error and
+    writes ``test_iou.out`` / ``test_pe.out`` (reference ``tester.py:44-51``).
+    """
+    start = time.time()
+    engines: Dict[tuple, TileInference] = {}
+    per_image = []
+    for idx in range(len(data)):
+        img, tgt = square_crop(data.images[idx], data.targets[idx])
+        key = img.shape
+        if key not in engines:
+            engines[key] = TileInference(model, img.shape[0], img.shape[1],
+                                         tile_out=tile_out)
+        pred = engines[key].predict(params, img)
+        label = (tgt > 127).astype(np.int32)
+        m = np.asarray(evaluation_metrics(pred, jnp.asarray(label)))
+        per_image.append(m)
+        if output_dir is not None:
+            export_predictions(output_dir, idx, img, label * 255,
+                               np.asarray(pred) * 255)
+    metrics = np.stack(per_image)                      # [N, 2]
+    result = {
+        "iou_mean": float(np.nanmean(metrics[:, 0])),
+        "iou_std": float(np.nanstd(metrics[:, 0])),
+        "pe_mean": float(np.mean(metrics[:, 1])),
+        "pe_std": float(np.std(metrics[:, 1])),
+        "seconds": time.time() - start,
+        "num_images": len(data),
+    }
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+        np.savetxt(os.path.join(output_dir, "test_iou.out"),
+                   [result["iou_mean"], result["iou_std"]])
+        np.savetxt(os.path.join(output_dir, "test_pe.out"),
+                   [result["pe_mean"], result["pe_std"]])
+    if verbose:
+        print(f"Mean IoU testing: {result['iou_mean']:.6f}")
+        print(f"Mean PE testing : {result['pe_mean']:.6f}")
+        print(f"Testing took    : {result['seconds']:.2f}s")
+    return result

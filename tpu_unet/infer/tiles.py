@@ -1,0 +1,110 @@
+"""Overlap-tile inference engine.
+
+The paper's overlap-tile strategy (Ronneberger et al. Fig. 2): tile the output
+domain, mirror-pad each tile's receptive-field context, run the valid-conv
+network per tile, stitch. The reference only *approximates* this with a single
+whole-image mirrored pass (``data.py:169-191``, ``tester.py:27-30``;
+SURVEY.md §2.3) — constant memory in image size is lost and large images OOM.
+
+Here:
+* geometry comes from core.geometry.plan_tiles (tile origins are static, so
+  the whole predict function traces into one XLA program: pad -> gather tiles
+  -> batched forward -> scatter-stitch);
+* tiles are batched (`batch_tiles`) to keep the MXU fed; with `tile_out` >=
+  image size the engine degenerates to exactly the reference's whole-image
+  pass (one tile), used for behaviour-parity evaluation;
+* a multi-image entry point feeds the throughput path (BASELINE target:
+  >= 1000 512x512 tiles/s/chip on v5e).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.core.geometry import TilePlan, input_size_compute, plan_tiles
+from tpu_unet.models import center_crop_or_pad
+from tpu_unet.ops.pad import reflect_pad
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class TileInference:
+    """Jitted overlap-tile predictor for a fixed image shape."""
+
+    def __init__(self, model, image_h: int, image_w: int,
+                 tile_out: Optional[int] = None, batch_tiles: int = 8,
+                 normalize: bool = True):
+        """tile_out=None picks the whole-image single-tile plan (reference
+        behaviour-parity: ``data.py:184`` mirror pad + one forward)."""
+        self.model = model
+        if tile_out is None:
+            tile_out = input_size_compute(max(image_h, image_w))[2]
+        self.plan: TilePlan = plan_tiles(image_h, image_w, tile_out)
+        self.batch_tiles = min(batch_tiles, self.plan.num_tiles)
+        self.normalize = normalize
+        self._predict = jax.jit(partial(self._predict_impl))
+
+    def _predict_impl(self, params, image: jax.Array) -> jax.Array:
+        """image [H, W] f32 -> logits [H, W, C]."""
+        p = self.plan
+        if self.normalize:
+            image = (image - jnp.min(image)) / jnp.ptp(image)
+        padded = reflect_pad(
+            image,
+            ((p.pad, p.pad + p.canvas_h - p.image_h),
+             (p.pad, p.pad + p.canvas_w - p.image_w)),
+        )
+        tiles = jnp.stack(
+            [padded[y:y + p.tile_in, x:x + p.tile_in] for (y, x) in p.origins]
+        )[..., None]                                   # [T, tin, tin, 1]
+
+        t = p.num_tiles
+        b = self.batch_tiles
+        n_chunks = -(-t // b)
+        pad_t = n_chunks * b - t
+        if pad_t:
+            tiles = jnp.concatenate([tiles, tiles[:pad_t]], axis=0)
+        chunks = tiles.reshape(n_chunks, b, p.tile_in, p.tile_in, 1)
+
+        def fwd(tile_batch):
+            logits = self.model.apply(params, tile_batch)
+            return center_crop_or_pad(logits, (p.tile_out, p.tile_out))
+
+        if n_chunks == 1:
+            out = fwd(chunks[0])[None]
+        else:
+            out = jax.lax.map(fwd, chunks)             # [n_chunks, b, tout, tout, C]
+        out = out.reshape(n_chunks * b, p.tile_out, p.tile_out, -1)[:t]
+
+        canvas = jnp.zeros((p.canvas_h, p.canvas_w, out.shape[-1]), out.dtype)
+        for i, (y, x) in enumerate(p.out_origins):
+            canvas = jax.lax.dynamic_update_slice(canvas, out[i], (y, x, 0))
+        return canvas[: p.image_h, : p.image_w]
+
+    def predict_logits(self, params, image) -> jax.Array:
+        """[H, W] -> [H, W, C] logits."""
+        return self._predict(params, jnp.asarray(image, jnp.float32))
+
+    def predict(self, params, image) -> jax.Array:
+        """[H, W] -> [H, W] int32 class map (argmax, reference tester.py:30)."""
+        return jnp.argmax(self.predict_logits(params, image), axis=-1)
+
+
+def make_tile_batch_forward(model, tile_in: int, batch: int):
+    """The raw throughput kernel: jitted batched forward over input tiles
+    [B, tin, tin, 1] -> argmax [B, tout, tout]. Used by bench.py and the
+    mesh-sharded inference path (parallel/)."""
+
+    @jax.jit
+    def fwd(params, tiles):
+        logits = model.apply(params, tiles)
+        return jnp.argmax(logits, axis=-1)
+
+    return fwd
