@@ -1,0 +1,124 @@
+"""Headline benchmark: overlap-tile inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
+
+Workload (BASELINE.json config 4 / north star): 512x512 output tiles through
+the full-width U-Net in bf16 via the overlap-tile path — each forward consumes
+a mirrored 700x700 input tile and yields the 516x516 valid output covering a
+512x512 image tile (core.geometry: 700 -> 516). Baseline target: 1000
+tiles/sec/chip on v5e (no reference counterpart exists; the reference's
+whole-image GPU path publishes no throughput, SURVEY.md §6).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0, help="0 = autotune")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--width-mult", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true", help="debug on CPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_unet.config import ModelConfig
+    from tpu_unet.infer.tiles import make_tile_batch_forward
+    from tpu_unet.models import UNet
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    tile_in, tile_out = 700, 516  # covers one 512x512 image tile
+    cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype)
+    model = UNet(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    log("initializing params (on small shape) ...")
+    params = model.init(rng, jnp.zeros((1, 188, 188, 1), jnp.float32))
+
+    # Timing note: on remote-tunnel PJRT backends `block_until_ready` can be
+    # a no-op (execution is fully async until a readback). We therefore run
+    # `iters` forwards *inside one jitted scan* and force a 4-byte scalar
+    # readback; tiles/sec = iters*batch / (wall - readback_roundtrip).
+    def bench_batch(b):
+        def chunk_fwd(carry, tiles):
+            logits = model.apply(params, tiles)
+            preds = jnp.argmax(logits, axis=-1)
+            return carry + jnp.sum(preds, dtype=jnp.int32), None
+
+        @jax.jit
+        def run(all_tiles):
+            total, _ = jax.lax.scan(chunk_fwd, jnp.int32(0), all_tiles)
+            return total
+
+        @jax.jit
+        def noop(x):
+            return x + 1
+
+        # measure the tunnel roundtrip to subtract
+        float(noop(jnp.int32(0)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(noop(jnp.int32(0)))
+        roundtrip = (time.perf_counter() - t0) / 5
+
+        tiles = jax.random.uniform(
+            jax.random.PRNGKey(1), (args.iters, b, tile_in, tile_in, 1),
+            jnp.float32)
+        t0 = time.perf_counter()
+        float(run(tiles))
+        log(f"  batch {b}: compile+first run {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(max(1, args.warmup)):
+            float(run(tiles))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(tiles))
+            times.append(time.perf_counter() - t0 - roundtrip)
+        dt = float(np.median(times))
+        tps = args.iters * b / dt
+        log(f"  batch {b}: {args.iters} x {b} tiles in {dt*1e3:.1f} ms "
+            f"(roundtrip {roundtrip*1e3:.1f} ms) -> {tps:.1f} tiles/s")
+        return tps
+
+    if args.batch:
+        candidates = [args.batch]
+    else:
+        candidates = [4, 8, 16]
+    best = 0.0
+    for b in candidates:
+        try:
+            best = max(best, bench_batch(b))
+        except Exception as e:  # OOM at large batch: keep best so far
+            log(f"  batch {b} failed: {type(e).__name__}: {str(e)[:200]}")
+            break
+
+    baseline = 1000.0
+    print(json.dumps({
+        "metric": "overlap-tile inference throughput (512x512 tiles, bf16 U-Net)",
+        "value": round(best, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(best / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+data-parallel training equivalence and halo-exchange strip inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.config import ModelConfig, OptimConfig
+from tpu_unet.models import UNet
+from tpu_unet.losses.weights import class_balance
+from tpu_unet.parallel import (
+    halo_strip_inference,
+    make_dp_tile_forward,
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from tpu_unet.train.optimizer import make_optimizer
+from tpu_unet.train.trainer import TrainState, make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = UNet(ModelConfig(base_width=2))
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_dp_train_step_matches_single_device(tiny):
+    model, params = tiny
+    tx = make_optimizer(OptimConfig())
+    mesh = make_mesh(4)
+
+    rng = np.random.RandomState(0)
+    inp = jnp.asarray(rng.rand(4, 188, 188, 1).astype(np.float32))
+    gt = jnp.asarray((rng.rand(4, 4, 4) < 0.5).astype(np.int32))
+
+    single = make_train_step(model, class_balance, "intended", tx)
+    s_state, s_loss, s_metrics = single(TrainState(params, tx.init(params)), inp, gt)
+
+    dp = make_dp_train_step(model, class_balance, "intended", tx, mesh)
+    state0 = replicate(TrainState(params, tx.init(params)), mesh)
+    d_state, d_loss, d_metrics = dp(
+        state0, shard_batch(inp, mesh), shard_batch(gt, mesh)
+    )
+
+    np.testing.assert_allclose(float(d_loss), float(s_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_metrics), np.asarray(s_metrics),
+                               rtol=1e-5)
+    # Updated parameters identical (global-batch grad all-reduce is exact).
+    for a, b in zip(jax.tree.leaves(s_state.params), jax.tree.leaves(d_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_dp_tile_forward(tiny):
+    model, params = tiny
+    mesh = make_mesh(8)
+    fwd = make_dp_tile_forward(model, mesh)
+    tiles = jnp.asarray(np.random.RandomState(1).rand(8, 188, 188, 1), jnp.float32)
+    preds = fwd(replicate(params, mesh), shard_batch(tiles, mesh))
+    assert preds.shape == (8, 4, 4)
+    assert set(np.unique(np.asarray(preds))) <= {0, 1}
+
+
+def test_halo_strip_matches_whole_image(tiny):
+    # 4 strips of 116 rows (116+184=300 is a valid input size) over a
+    # 464 x 116 image; oracle = single-device forward of the equivalently
+    # mirror-padded whole image, strip by strip.
+    model, params = tiny
+    mesh = make_mesh(4, axes=("spatial",))
+    strip_h, width = 116, 116
+    h = 4 * strip_h
+    img = np.random.RandomState(3).rand(h, width).astype(np.float32)
+
+    fwd = halo_strip_inference(model, mesh, strip_h, width)
+    got = np.asarray(fwd(replicate(params, mesh),
+                         shard_batch(jnp.asarray(img), mesh, axis="spatial")))
+    assert got.shape == (h, width, 2)
+
+    padded = np.pad(img, 92, mode="reflect")
+    expected = np.concatenate([
+        np.asarray(model.apply(
+            params,
+            jnp.asarray(padded[i * strip_h: i * strip_h + strip_h + 184])[None, ..., None],
+        ))[0]
+        for i in range(4)
+    ], axis=0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_strip_too_small_raises(tiny):
+    model, _ = tiny
+    mesh = make_mesh(4, axes=("spatial",))
+    with pytest.raises(ValueError):
+        # 36+184=220 is a valid input size but 36 < 92 halo
+        halo_strip_inference(model, mesh, 36, 116)

@@ -262,6 +262,8 @@ class Trainer:
                 "plateau": plateau._asdict(),
                 "best_val_loss": best_val_loss,
                 "goal_saved": goal_saved,
+                # self-describing checkpoints: TESTING rebuilds the exact model
+                "model_cfg": dataclasses.asdict(self.model_cfg),
             }
             if improved:
                 ckpt.save("best", state, host)
