@@ -18,14 +18,14 @@ import time
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0, help="0 = autotune")
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
@@ -51,8 +51,13 @@ def main():
     model = UNet(cfg)
 
     rng = jax.random.PRNGKey(0)
+    log("establishing TPU session ...")
+    import jax.numpy as _j
+    float(_j.zeros(()).sum())      # absorb the ~60s relay claim up front
     log("initializing params (on small shape) ...")
     params = model.init(rng, jnp.zeros((1, 188, 188, 1), jnp.float32))
+    jax.tree.map(lambda a: a.block_until_ready(), params)
+    log("params ready")
 
     # Timing note: on remote-tunnel PJRT backends `block_until_ready` can be
     # a no-op (execution is fully async until a readback). We therefore run
@@ -80,9 +85,12 @@ def main():
             float(noop(jnp.int32(0)))
         roundtrip = (time.perf_counter() - t0) / 5
 
+        log(f"  batch {b}: generating tiles ...")
         tiles = jax.random.uniform(
             jax.random.PRNGKey(1), (args.iters, b, tile_in, tile_in, 1),
             jnp.float32)
+        float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
+        log(f"  batch {b}: compiling scan-{args.iters} forward ...")
         t0 = time.perf_counter()
         float(run(tiles))
         log(f"  batch {b}: compile+first run {time.perf_counter() - t0:.1f}s")
@@ -102,7 +110,7 @@ def main():
     if args.batch:
         candidates = [args.batch]
     else:
-        candidates = [4, 8, 16]
+        candidates = [8, 16]
     best = 0.0
     for b in candidates:
         try:

@@ -1,0 +1,51 @@
+"""Pallas EDT column-pass kernel vs the scan oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.ops.edt import edt_batch, edt
+
+
+def _blobs(h, w, n, seed=0):
+    rng = np.random.RandomState(seed)
+    m = np.zeros((h, w), bool)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(n):
+        cy, cx, r = rng.randint(5, h - 5), rng.randint(5, w - 5), rng.randint(2, 6)
+        m[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = True
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_column_pass_matches_scan(seed):
+    masks = np.stack([_blobs(40, 48, 3, seed), _blobs(40, 48, 1, seed + 10),
+                      np.zeros((40, 48), bool)])
+    scan = np.asarray(edt_batch(jnp.asarray(masks), use_pallas=False))
+    pallas = np.asarray(edt_batch(jnp.asarray(masks), use_pallas=True,
+                                  interpret=True))
+    # Empty plane: both inf.
+    assert np.isinf(pallas[2]).all() and np.isinf(scan[2]).all()
+    np.testing.assert_allclose(pallas[:2], scan[:2], rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_column_pass_under_vmap():
+    # weighted_map vmaps over the batch; the pallas call must vmap cleanly.
+    masks = np.stack([
+        np.stack([_blobs(24, 32, 2, s), _blobs(24, 32, 1, s + 5)])
+        for s in range(3)
+    ])  # [3, 2, H, W]
+    fn = jax.vmap(lambda m: edt_batch(m, use_pallas=True, interpret=True))
+    got = np.asarray(fn(jnp.asarray(masks)))
+    exp = np.asarray(jax.vmap(lambda m: edt_batch(m, use_pallas=False))(
+        jnp.asarray(masks)))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_single_edt_unchanged():
+    m = _blobs(32, 32, 2, 3)
+    a = np.asarray(edt(jnp.asarray(m)))
+    b = np.asarray(edt_batch(jnp.asarray(m[None]), use_pallas=False))[0]
+    np.testing.assert_allclose(a, b)

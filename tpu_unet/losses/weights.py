@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_unet.ops.cc import component_planes
-from tpu_unet.ops.edt import edt
+from tpu_unet.ops.edt import edt_batch
 
 
 def _class_weights(gt: jax.Array) -> jax.Array:
@@ -66,7 +66,9 @@ def _weighted_map_single(gt: jax.Array, w0: float, sigma2: float,
 
     planes, num = component_planes(fg, max_objects)
     # Distance from every pixel to each object; empty planes give +inf.
-    dists = jax.vmap(edt)(planes)                 # [max_objects, H, W]
+    # (edt_batch routes the column pass through the VMEM-resident Pallas
+    # kernel on TPU — this is the train step's heaviest non-conv op.)
+    dists = edt_batch(planes)                     # [max_objects, H, W]
     # Two nearest objects per pixel. A full sort is O(K log K) per pixel; a
     # two-level min is cheaper and exact (reference sorts then takes [0], [1]).
     d1 = jnp.min(dists, axis=0)

@@ -1,0 +1,131 @@
+"""Fused 3x3 valid convolution + bias + ReLU as a Pallas TPU kernel.
+
+The U-Net's FLOPs are 18 of these convs (reference ``network.py:129-192``);
+this kernel is the BASELINE north-star "fused Pallas conv+activation tiles in
+bf16". Strategy:
+
+* grid over (batch, output-row tiles, output-channel tiles);
+* the (rows+2)-row input slab is DMA'd HBM -> VMEM per step (overlapping row
+  windows cannot be expressed with BlockSpec strides, so the slab copy is a
+  manual ``pltpu.make_async_copy``);
+* the 3x3 conv is computed as 9 shifted (rows*cols, Cin) @ (Cin, Cout_tile)
+  MXU matmuls accumulated in f32, then bias + ReLU fuse into the same kernel
+  before the single store — one HBM write per output element, no intermediate
+  activation tensor.
+
+XLA's native conv is the default path (ModelConfig flag chooses); this kernel
+exists to (a) prove out the fused-tile design and (b) win where XLA's fusion
+falls short. Both paths are cross-checked in tests (interpret mode on CPU,
+compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *, block_rows, wo, cin):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    row0 = ri * block_rows
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(row0, block_rows + 2)], x_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    tc = o_ref.shape[-1]
+    acc = jnp.zeros((block_rows * wo, tc), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_vmem[dy:dy + block_rows, dx:dx + wo, :]
+            xs = xs.reshape(block_rows * wo, cin)
+            acc = acc + jnp.dot(xs, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    out = jnp.maximum(acc + b_ref[0][None, :].astype(jnp.float32), 0.0)
+    o_ref[0] = out.reshape(block_rows, wo, tc).astype(o_ref.dtype)
+
+
+def conv3x3_bias_relu(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    block_rows: int = 8,
+    cout_tile: Optional[int] = None,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, H, W, Cin], w [3, 3, Cin, Cout], b [Cout] ->
+    relu(conv_valid(x, w) + b) [B, H-2, W-2, Cout]."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    ho, wo = h - 2, wd - 2
+    out_dtype = out_dtype or x.dtype
+    if cout_tile is None:
+        cout_tile = min(cout, 256)
+    assert cout % cout_tile == 0, (cout, cout_tile)
+
+    # Pad output rows to a multiple of block_rows (extra input rows are
+    # zeros; the surplus output rows are sliced off below).
+    pad_rows = (-ho) % block_rows
+    if pad_rows:
+        x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+        h = h + pad_rows
+        ho = ho + pad_rows
+
+    grid = (bsz, ho // block_rows, cout // cout_tile)
+
+    kernel = functools.partial(_kernel, block_rows=block_rows, wo=wo, cin=cin)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # x stays in HBM
+            pl.BlockSpec((3, 3, cin, cout_tile),
+                         lambda b_, r, c: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout_tile), lambda b_, r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rows, wo, cout_tile),
+            lambda b_, r, c: (b_, r, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 2, wd, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * ho * wo * 9 * cin * cout,
+            bytes_accessed=(x.size * x.dtype.itemsize
+                            + w.size * w.dtype.itemsize
+                            + bsz * ho * wo * cout * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+    )(x, w, b.reshape(1, cout))
+    if pad_rows:
+        out = out[:, :ho - pad_rows]
+    return out
+
+
+def conv3x3_bias_relu_xla(x, w, b, out_dtype=None):
+    """Reference XLA path with the same signature (fusion left to XLA)."""
+    out_dtype = out_dtype or x.dtype
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(y + b.astype(jnp.float32), 0.0).astype(out_dtype)

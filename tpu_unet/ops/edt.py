@@ -47,14 +47,13 @@ def _row_distance(mask: jax.Array) -> jax.Array:
     return jnp.minimum(d_left, d_right)
 
 
-def _column_pass(g: jax.Array) -> jax.Array:
-    """Exact (min, +) reduction over source rows.
+def _column_pass_from_g2(g2: jax.Array) -> jax.Array:
+    """Exact (min, +) reduction over source rows (lax.scan formulation).
 
-    g: [H, W] f32 per-row distances (phase 1). Returns [H, W] f32 squared
-    Euclidean distances D^2[i, j] = min_r (g[r, j]^2 + (i - r)^2).
+    g2: [H, W] f32 squared per-row distances (phase 1). Returns [H, W] f32
+    squared Euclidean distances D^2[i, j] = min_r (g2[r, j] + (i - r)^2).
     """
-    h, w = g.shape
-    g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
+    h, w = g2.shape
     rows = jnp.arange(h, dtype=jnp.float32)
 
     def step(acc, r):
@@ -77,10 +76,27 @@ def edt(mask: jax.Array) -> jax.Array:
     ``DIST_L2, maskSize=0`` on the complement encoding used by the reference.
     """
     g = _row_distance(mask)
-    d2 = _column_pass(g)
+    g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
+    return jnp.sqrt(_column_pass_from_g2(g2))
+
+
+def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
+              interpret: bool = False) -> jax.Array:
+    """[N, H, W] bool -> [N, H, W] f32 exact EDT.
+
+    On TPU the column pass runs as a VMEM-resident Pallas kernel
+    (ops/edt_pallas.py) — the scan formulation drags the full [N, H, W]
+    accumulator through HBM on each of H steps; the kernel touches HBM twice
+    per plane. CPU/interpret falls back to the scan (also the test oracle).
+    """
+    g = jax.vmap(_row_distance)(masks)
+    g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from tpu_unet.ops.edt_pallas import column_pass_pallas
+
+        d2 = column_pass_pallas(g2, interpret=interpret)
+    else:
+        d2 = jax.vmap(_column_pass_from_g2)(g2)
     return jnp.sqrt(d2)
-
-
-def edt_batch(masks: jax.Array) -> jax.Array:
-    """[N, H, W] bool -> [N, H, W] f32, vmapped exact EDT."""
-    return jax.vmap(edt)(masks)

@@ -1,0 +1,58 @@
+"""Pallas kernel for the EDT column pass.
+
+The exact column pass D^2[i, j] = min_r (g[r, j]^2 + (i - r)^2) is a
+(min, +) reduction over source rows. The XLA `lax.scan` formulation
+(ops/edt.py) carries the full [planes, H, W] accumulator through HBM on every
+one of H steps — ~15 GB of HBM traffic for a HeLa weight-map batch. This
+kernel keeps one plane's g^2 and accumulator resident in VMEM (a 388x388 f32
+plane is ~600 KB) and runs the whole row reduction on the VPU, so HBM sees
+each plane exactly twice (read g^2, write D^2).
+
+Grid: one program per plane. Used by losses/weights.py via ops.edt when
+running on TPU; the scan path remains the CPU/interpret fallback and the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _col_pass_kernel(g2_ref, out_ref):
+    h, w = g2_ref.shape[-2], g2_ref.shape[-1]
+    rows = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    def body(r, acc):
+        rf = r.astype(jnp.float32)
+        di = rows - rf
+        cand = di * di + g2_ref[0, r, :][None, :]
+        return jnp.minimum(acc, cand)
+
+    acc0 = jnp.full((h, w), jnp.inf, jnp.float32)
+    out_ref[0] = lax.fori_loop(0, h, body, acc0)
+
+
+def column_pass_pallas(g2: jax.Array, interpret: bool = False) -> jax.Array:
+    """g2 [N, H, W] f32 per-row squared distances -> [N, H, W] f32 D^2."""
+    n, h, w = g2.shape
+    return pl.pallas_call(
+        _col_pass_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * h * h * w,
+            bytes_accessed=2 * n * h * w * 4,
+            transcendentals=0,
+        ),
+    )(g2)
