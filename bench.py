@@ -24,6 +24,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0, help="0 = autotune")
+    ap.add_argument("--tile-out", type=int, default=516,
+                    help="output tile size when --batch is set")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
@@ -46,7 +48,6 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    tile_in, tile_out = 700, 516  # covers one 512x512 image tile
     cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype)
     model = UNet(cfg)
 
@@ -63,7 +64,17 @@ def main():
     # a no-op (execution is fully async until a readback). We therefore run
     # `iters` forwards *inside one jitted scan* and force a 4-byte scalar
     # readback; tiles/sec = iters*batch / (wall - readback_roundtrip).
-    def bench_batch(b):
+    # Pre-cast params once: flax would cast f32->bf16 inside every forward.
+    if args.dtype == "bfloat16":
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def bench_batch(b, tile_out):
+        # Larger output tiles amortize the 184-px receptive-field context:
+        # 516-out costs (700/516)^2 = 1.84x per pixel at level 1; 1028-out
+        # only 1.39x. Throughput is counted in 512x512 output-tile units.
+        tile_in = tile_out + 184
+        tiles_per_fwd = (tile_out / 512.0) ** 2
+
         def chunk_fwd(carry, tiles):
             logits = model.apply(params, tiles)
             preds = jnp.argmax(logits, axis=-1)
@@ -85,15 +96,16 @@ def main():
             float(noop(jnp.int32(0)))
         roundtrip = (time.perf_counter() - t0) / 5
 
-        log(f"  batch {b}: generating tiles ...")
+        log(f"  out={tile_out} batch={b}: generating tiles ...")
         tiles = jax.random.uniform(
             jax.random.PRNGKey(1), (args.iters, b, tile_in, tile_in, 1),
             jnp.float32)
         float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
-        log(f"  batch {b}: compiling scan-{args.iters} forward ...")
+        log(f"  out={tile_out} batch={b}: compiling scan-{args.iters} ...")
         t0 = time.perf_counter()
         float(run(tiles))
-        log(f"  batch {b}: compile+first run {time.perf_counter() - t0:.1f}s")
+        log(f"  out={tile_out} batch={b}: compile+first run "
+            f"{time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(max(1, args.warmup)):
             float(run(tiles))
@@ -102,21 +114,23 @@ def main():
             float(run(tiles))
             times.append(time.perf_counter() - t0 - roundtrip)
         dt = float(np.median(times))
-        tps = args.iters * b / dt
-        log(f"  batch {b}: {args.iters} x {b} tiles in {dt*1e3:.1f} ms "
-            f"(roundtrip {roundtrip*1e3:.1f} ms) -> {tps:.1f} tiles/s")
+        tps = args.iters * b * tiles_per_fwd / dt
+        log(f"  out={tile_out} batch={b}: {args.iters} x {b} fwd in "
+            f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
+            f"{tps:.1f} 512^2-tiles/s")
         return tps
 
     if args.batch:
-        candidates = [args.batch]
+        candidates = [(args.batch, args.tile_out)]
     else:
-        candidates = [8, 16]
+        candidates = [(8, 516), (4, 1028), (8, 1028)]
     best = 0.0
-    for b in candidates:
+    for b, tout in candidates:
         try:
-            best = max(best, bench_batch(b))
+            best = max(best, bench_batch(b, tout))
         except Exception as e:  # OOM at large batch: keep best so far
-            log(f"  batch {b} failed: {type(e).__name__}: {str(e)[:200]}")
+            log(f"  out={tout} batch={b} failed: "
+                f"{type(e).__name__}: {str(e)[:200]}")
             break
 
     baseline = 1000.0
