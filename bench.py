@@ -21,11 +21,40 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
 
 
+def unet_forward_flops(tile_in: int, width_mult: int = 1) -> float:
+    """Analytic conv FLOPs for one forward at the given input size
+    (2*k^2*Cin*Cout per output pixel; includes upconvs and the 1x1 head)."""
+    w = [64 * width_mult * 2 ** i for i in range(5)]
+    flops = 0.0
+    s = tile_in
+    sizes = []
+    cin = 1
+    for d in range(4):
+        flops += 2 * 9 * cin * w[d] * (s - 1) ** 2  # approx both convs' sizes
+        flops += 2 * 9 * w[d] * w[d] * (s - 3) ** 2
+        sizes.append(s - 4)
+        s = (s - 4) // 2
+        cin = w[d]
+    flops += 2 * 9 * w[3] * w[4] * (s - 1) ** 2
+    flops += 2 * 9 * w[4] * w[4] * (s - 3) ** 2
+    s = s - 4
+    for d in reversed(range(4)):
+        s = s * 2
+        flops += 2 * 4 * w[d + 1] * w[d] * s ** 2        # upconv
+        flops += 2 * 9 * 2 * w[d] * w[d] * (s - 1) ** 2  # dec conv1 (concat in)
+        flops += 2 * 9 * w[d] * w[d] * (s - 3) ** 2
+        s = s - 4
+    flops += 2 * 64 * width_mult * 2 * s ** 2            # 1x1 head
+    return flops
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0, help="0 = autotune")
     ap.add_argument("--tile-out", type=int, default=516,
                     help="output tile size when --batch is set")
+    ap.add_argument("--candidates", default="",
+                    help='comma list "BxT" pairs, e.g. "8x516,16x1028"')
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
@@ -115,15 +144,21 @@ def main():
             times.append(time.perf_counter() - t0 - roundtrip)
         dt = float(np.median(times))
         tps = args.iters * b * tiles_per_fwd / dt
+        tf = unet_forward_flops(tile_in, args.width_mult) * args.iters * b / dt / 1e12
         log(f"  out={tile_out} batch={b}: {args.iters} x {b} fwd in "
             f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
-            f"{tps:.1f} 512^2-tiles/s")
+            f"{tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
         return tps
 
-    if args.batch:
+    if args.candidates:
+        candidates = [tuple(map(int, c.split("x")))
+                      for c in args.candidates.split(",")]  # "8x516,16x1028"
+    elif args.batch:
         candidates = [(args.batch, args.tile_out)]
     else:
-        candidates = [(8, 516), (4, 1028), (8, 1028)]
+        # best-known config first (measured round 1: 258 tiles/s at 16x1028,
+        # ~71% MXU utilization; 516-out pays 1.84x context overhead)
+        candidates = [(16, 1028), (8, 516)]
     best = 0.0
     for b, tout in candidates:
         try:
