@@ -48,6 +48,67 @@ def unet_forward_flops(tile_in: int, width_mult: int = 1) -> float:
     return flops
 
 
+def bench_train(args, model, cfg):
+    """Fused train-step throughput: augmentation + distance weight maps +
+    weighted BCE + backward + SGD, HeLa-like shapes (batch 2, 572-in/388-out,
+    BASELINE config 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_unet.config import AugmentConfig, LossConfig, OptimConfig
+    from tpu_unet.data import synthetic_dataset
+    from tpu_unet.data.augment import AugmentPipeline
+    from tpu_unet.losses.weights import make_weight_fn
+    from tpu_unet.train.optimizer import make_optimizer
+    from tpu_unet.train.trainer import TrainState, make_train_step
+
+    log("establishing TPU session ...")
+    float(jnp.zeros(()).sum())
+    log("building data + model ...")
+    data = synthetic_dataset(n_images=4, h=512, w=512, n_cells=8, crop=388,
+                             seed=0)
+    aug = AugmentConfig(crop=388)
+    pipe = AugmentPipeline(aug)
+    weight_fn = make_weight_fn("distance", max_objects=32)
+    tx = make_optimizer(OptimConfig())
+    step = make_train_step(model, weight_fn, "intended", tx)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 188, 188, 1)))
+    state = TrainState(params, tx.init(params))
+    images = jnp.asarray(data.images)
+    targets = jnp.asarray(data.targets)
+    lp = jnp.asarray(data.crop_log_probs)
+    pairs = jnp.asarray(data.crop_pairs)
+
+    def one_step(state, i):
+        key = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        inp, gt = pipe(images, targets, lp, pairs, np.array([0, 1]), key)
+        state, loss, metrics = step(state, inp, gt)
+        return state, loss
+
+    log("compiling train step ...")
+    t0 = time.perf_counter()
+    state, loss = one_step(state, 0)
+    float(loss)
+    log(f"compile+first step {time.perf_counter() - t0:.1f}s")
+    n = args.iters
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        state, loss = one_step(state, i)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    sps = 1.0 / dt
+    log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
+        f"({sps * 2:.2f} samples/s, batch 2)")
+    print(json.dumps({
+        "metric": "fused train step (HeLa config: augment+EDT weights+bwd+SGD)",
+        "value": round(sps, 3),
+        "unit": "steps/sec/chip (batch 2, 572-in)",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0, help="0 = autotune")
@@ -55,6 +116,8 @@ def main():
                     help="output tile size when --batch is set")
     ap.add_argument("--candidates", default="",
                     help='comma list "BxT" pairs, e.g. "8x516,16x1028"')
+    ap.add_argument("--mode", default="infer", choices=["infer", "train"],
+                    help="train: fused train-step throughput (HeLa-like config)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
@@ -79,6 +142,9 @@ def main():
 
     cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype)
     model = UNet(cfg)
+
+    if args.mode == "train":
+        return bench_train(args, model, cfg)
 
     rng = jax.random.PRNGKey(0)
     log("establishing TPU session ...")

@@ -8,8 +8,11 @@ JSON summary line.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_unet.config import (
     AugmentConfig,

@@ -99,6 +99,24 @@ def test_halo_strip_matches_whole_image(tiny):
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_wide_bf16_dp_step(tiny):
+    # BASELINE config 5 mechanism: 2x-wide bf16 U-Net, data-parallel across
+    # the 8-device mesh (tiny base width keeps the CPU test cheap).
+    model = UNet(ModelConfig(base_width=2, width_mult=2,
+                             compute_dtype="bfloat16"))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 188, 188, 1)))
+    assert params["params"]["enc0_conv1"]["kernel"].shape == (3, 3, 1, 4)
+    tx = make_optimizer(OptimConfig())
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(model, class_balance, "intended", tx, mesh)
+    state = replicate(TrainState(params, tx.init(params)), mesh)
+    rng = np.random.RandomState(2)
+    inp = shard_batch(jnp.asarray(rng.rand(8, 188, 188, 1), jnp.float32), mesh)
+    gt = shard_batch(jnp.asarray((rng.rand(8, 4, 4) < 0.5).astype(np.int32)), mesh)
+    state, loss, _ = dp(state, inp, gt)
+    assert np.isfinite(float(loss))
+
+
 def test_halo_strip_too_small_raises(tiny):
     model, _ = tiny
     mesh = make_mesh(4, axes=("spatial",))

@@ -99,18 +99,8 @@ def connected_components(fg: np.ndarray) -> Tuple[int, np.ndarray]:
         from tpu_unet.ops.cc import connected_components as cc_jax
 
         lab = np.asarray(cc_jax(jnp.asarray(fg.astype(bool))))
-        out = np.zeros((h, w), np.int32)
-        k = 0
-        seen = {}
-        for idx in np.argsort(lab, axis=None):
-            y, x = divmod(int(idx), w)
-            v = lab[y, x]
-            if v >= 2 ** 30:
-                break
-            if v not in seen:
-                k += 1
-                seen[v] = k
         # relabel in first-pixel (row-major) order like cv2
+        out = np.zeros((h, w), np.int32)
         seen = {}
         k = 0
         for y in range(h):

@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _col_pass_kernel(g2_ref, out_ref):
     h, w = g2_ref.shape[-2], g2_ref.shape[-1]
-    rows = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    # TPU iota must be integer-typed; cast after (mosaic rejects f32 iota).
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
 
     def body(r, acc):
         rf = r.astype(jnp.float32)

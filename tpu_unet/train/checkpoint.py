@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -28,6 +29,12 @@ class Checkpointer:
 
     Device pytrees (params, opt_state) go through Orbax; small host-side
     scalars (epoch, plateau state, best loss) ride a JSON sidecar.
+
+    `save_async` streams the device->host fetch + write on a single worker
+    thread (JAX arrays are immutable, so snapshotting by reference is safe) —
+    on remote-tunnel backends a blocking save costs ~25 s per 31M-param model
+    and would dominate epoch time. Writes per tag stay ordered (one worker);
+    `wait()` drains before restore/exit.
     """
 
     def __init__(self, directory: str):
@@ -36,6 +43,9 @@ class Checkpointer:
         import orbax.checkpoint as ocp
 
         self._ckptr = ocp.StandardCheckpointer()
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="ckpt")
+        self._pending = []
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
@@ -58,7 +68,22 @@ class Checkpointer:
         os.rename(tmp, path)
         return path
 
+    def save_async(self, tag: str, device_state: Any,
+                   host_state: Dict[str, Any]) -> None:
+        """Queue a save without blocking the training loop."""
+        self._pending = [f for f in self._pending if not f.done()]
+        self._pending.append(
+            self._executor.submit(self.save, tag, device_state, dict(host_state))
+        )
+
+    def wait(self) -> None:
+        """Drain queued async saves (re-raises the first failure)."""
+        for f in self._pending:
+            f.result()
+        self._pending = []
+
     def restore(self, tag: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+        self.wait()
         path = self._path(tag)
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template

@@ -266,7 +266,7 @@ class Trainer:
                 "model_cfg": dataclasses.asdict(self.model_cfg),
             }
             if improved:
-                ckpt.save("best", state, host)
+                ckpt.save_async("best", state, host)
                 self._log(f"Epoch {epoch}: new best (val loss {val_stats.loss:.6f})")
 
             # Goal-based save (direction-aware; reference trainer.py:185-214).
@@ -278,12 +278,12 @@ class Trainer:
             if hit and not goal_saved:
                 goal_saved = True
                 host["goal_saved"] = True
-                ckpt.save(f"goal_{self.dataset_cfg.name}", state, host)
+                ckpt.save_async(f"goal_{self.dataset_cfg.name}", state, host)
                 self._log(f"Epoch {epoch}: paper goal reached "
                           f"({goal_metric:.4f} vs {self.dataset_cfg.goal})")
 
             if epoch % cfg.checkpoint_every == 0:
-                ckpt.save("latest", state, host)
+                ckpt.save_async("latest", state, host)
 
             prog.append(
                 loss=train_stats.loss, loss_val=val_stats.loss,
@@ -306,10 +306,11 @@ class Trainer:
                 stop = True
 
             if stop or epoch == epochs:
-                ckpt.save("latest", state, host)
+                ckpt.save_async("latest", state, host)
             if stop:
                 break
 
+        ckpt.wait()
         self.final_state = state
         return prog.history
 
