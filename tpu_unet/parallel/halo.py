@@ -49,10 +49,11 @@ def halo_strip_inference(model, mesh: Mesh, strip_h: int, width: int,
     # strip + context must be a valid input size; raises otherwise.
     output_size_for_input(strip_h + CONTEXT)
     output_size_for_input(width + CONTEXT)
-    if strip_h < pad:
+    if strip_h <= pad:
         raise ValueError(
-            f"strip height {strip_h} < halo {pad}: single-hop ppermute cannot "
-            f"supply the receptive field; use fewer devices or larger strips")
+            f"strip height {strip_h} <= halo {pad}: single-hop ppermute cannot "
+            f"supply the receptive field (and edge mirrors need pad+1 rows); "
+            f"use fewer devices or larger strips")
 
     def strip_fn(params, strip):
         # strip: [strip_h, width] — this device's rows.
