@@ -61,6 +61,10 @@ class AugmentConfig:
     crop_fg_hi: float = 0.9
     crop_pdf_loc: float = 0.5    # norm.pdf(x, loc, scale) crop weighting (``data.py:77``)
     crop_pdf_scale: float = 0.05
+    # True: rotation + elastic compose into ONE bilinear gather (TPU-fast,
+    # ~2x augment speedup; interpolation of the composite instead of
+    # bilinear-of-bilinear). False: two-stage warps like the reference chain.
+    fused_warp: bool = True
 
     @property
     def input_size(self) -> int:

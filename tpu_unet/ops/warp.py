@@ -27,18 +27,53 @@ from jax import lax
 from tpu_unet.ops.pad import fold_reflect
 
 
+def _gaussian_kernel1d_np(sigma: float, truncate: float = 4.0):
+    import numpy as np
+
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
 def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     """Normalized 1D Gaussian taps matching scipy.ndimage._gaussian_kernel1d
-    (order 0): radius = int(truncate * sigma + 0.5)."""
-    radius = int(truncate * sigma + 0.5)
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return (k / jnp.sum(k)).astype(jnp.float32)
+    (order 0): radius = int(truncate * sigma + 0.5). Computed host-side
+    (sigma is a static hyperparameter), returned as a device constant."""
+    return jnp.asarray(_gaussian_kernel1d_np(sigma, truncate))
 
 
-def gaussian_filter(img: jax.Array, sigma: float, truncate: float = 4.0) -> jax.Array:
+def gaussian_blur_matrix(n: int, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """[n, n] banded Toeplitz matrix B with B[i, j] = kernel[j - i + r]
+    (zero outside the band): B @ x applies the truncated Gaussian along an
+    axis with constant-0 boundary — exactly scipy's 'constant' mode, but as a
+    dense MXU matmul instead of a 1-channel convolution (which TPUs execute
+    on a catastrophically slow path: measured ~6 ms vs ~0.1 ms at 572^2)."""
+    import numpy as np
+
+    k = _gaussian_kernel1d_np(sigma, truncate)
+    r = (len(k) - 1) // 2
+    b = np.zeros((n, n), np.float32)
+    for off in range(-r, r + 1):
+        d = np.full(n - abs(off), k[off + r], np.float32)
+        b += np.diag(d, off)
+    return jnp.asarray(b)
+
+
+def gaussian_filter(img: jax.Array, sigma: float, truncate: float = 4.0,
+                    method: str = "matmul") -> jax.Array:
     """Separable Gaussian blur of a 2D image with constant-0 boundary,
-    matching ``scipy.ndimage.gaussian_filter(img, sigma, mode='constant')``."""
+    matching ``scipy.ndimage.gaussian_filter(img, sigma, mode='constant')``.
+
+    method='matmul' (default): blur = Bv @ img @ Bh^T with banded blur
+    matrices — rides the MXU. method='conv': 1-channel separable convolution
+    (the correctness oracle; slow on TPU)."""
+    if method == "matmul":
+        h, w = img.shape
+        bv = gaussian_blur_matrix(h, sigma, truncate)
+        bh = gaussian_blur_matrix(w, sigma, truncate)
+        x = img.astype(jnp.float32)
+        return (bv @ x) @ bh.T
     k = gaussian_kernel1d(sigma, truncate)
     r = (k.shape[0] - 1) // 2
     x = img.astype(jnp.float32)[None, None, :, :]           # NCHW
