@@ -120,6 +120,81 @@ def conv3x3_bias_relu(
     return out
 
 
+def _kernel_slab(slab_ref, w_ref, b_ref, o_ref, *, block_rows, wo, cin):
+    """Variant B kernel: the overlapping input slab arrives as a normal VMEM
+    block (XLA pre-gathers), so no manual DMA — isolates Mosaic issues."""
+    tc = o_ref.shape[-1]
+    acc = jnp.zeros((block_rows * wo, tc), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :]
+            xs = xs.reshape(block_rows * wo, cin)
+            acc = acc + jnp.dot(xs, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    out = jnp.maximum(acc + b_ref[0][None, :].astype(jnp.float32), 0.0)
+    o_ref[0] = out.reshape(block_rows, wo, tc).astype(o_ref.dtype)
+
+
+def conv3x3_bias_relu_slab(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    block_rows: int = 8,
+    cout_tile: Optional[int] = None,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Variant B: XLA materializes overlapping (block_rows+2)-row slabs
+    ([B, R, br+2, W, Cin], ~1.25x input copy), the kernel reads clean VMEM
+    blocks. Same math as `conv3x3_bias_relu`."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    ho, wo = h - 2, wd - 2
+    out_dtype = out_dtype or x.dtype
+    if cout_tile is None:
+        cout_tile = min(cout, 256)
+    assert cout % cout_tile == 0
+
+    pad_rows = (-ho) % block_rows
+    if pad_rows:
+        x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+        ho = ho + pad_rows
+    n_r = ho // block_rows
+    starts = jnp.arange(n_r) * block_rows
+    slabs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(x, s, block_rows + 2, axis=1),
+        out_axes=1,
+    )(starts)                                   # [B, R, br+2, W, Cin]
+
+    kernel = functools.partial(_kernel_slab, block_rows=block_rows, wo=wo,
+                               cin=cin)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_r, cout // cout_tile),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_rows + 2, wd, cin),
+                         lambda b_, r, c: (b_, r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cout_tile),
+                         lambda b_, r, c: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout_tile), lambda b_, r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rows, wo, cout_tile),
+            lambda b_, r, c: (b_, r, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, cout), out_dtype),
+        interpret=interpret,
+    )(slabs, w, b.reshape(1, cout))
+    if pad_rows:
+        out = out[:, :ho - pad_rows]
+    return out
+
+
 def conv3x3_bias_relu_xla(x, w, b, out_dtype=None):
     """Reference XLA path with the same signature (fusion left to XLA)."""
     out_dtype = out_dtype or x.dtype

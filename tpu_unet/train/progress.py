@@ -1,11 +1,16 @@
-"""Per-epoch progress curves, same artifact contract as the reference
-(``trainer.py:178-183``): six flat files rewritten each epoch under
-``<fold_dir>/progress/`` — train/val IoU, train/val pixel error, train/val
-loss — via ``np.savetxt``-compatible formatting."""
+"""Per-epoch progress artifacts.
+
+Keeps the reference's flat-file contract (``trainer.py:178-183``: six
+``np.savetxt`` curves rewritten each epoch under ``<fold_dir>/progress/``)
+and adds a structured JSONL metric stream (``metrics.jsonl``, one appended
+object per epoch) for tooling — the structured writer SURVEY.md §5.5 calls
+for."""
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from typing import Dict, List
 
 import numpy as np
@@ -25,6 +30,7 @@ class ProgressWriter:
         self.progress_dir = os.path.join(fold_dir, "progress")
         os.makedirs(self.progress_dir, exist_ok=True)
         self.history: Dict[str, List[float]] = {k: [] for k in FILES}
+        self._jsonl = os.path.join(self.progress_dir, "metrics.jsonl")
 
     def append(self, **values: float) -> None:
         for key, val in values.items():
@@ -34,3 +40,7 @@ class ProgressWriter:
         for key, fname in FILES.items():
             np.savetxt(os.path.join(self.progress_dir, fname),
                        np.asarray(self.history[key]))
+        record = {"epoch": len(self.history["loss"]) - 1, "time": time.time()}
+        record.update({k: float(v) for k, v in values.items()})
+        with open(self._jsonl, "a") as f:
+            f.write(json.dumps(record) + "\n")

@@ -193,6 +193,22 @@ class Trainer:
         ckpt = Checkpointer(os.path.join(self.out_dir, "models"))
         prog = ProgressWriter(self.out_dir)
 
+        # Preemption handling (SURVEY.md §5.3 — absent in the reference):
+        # SIGTERM/SIGINT set a flag; the loop checkpoints 'latest' at the next
+        # epoch boundary and exits cleanly, so `fit(resume=True)` continues.
+        preempted = {"flag": False}
+        prev_handlers = {}
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                prev_handlers[sig] = _signal.signal(sig, _on_signal)
+        except ValueError:
+            prev_handlers = {}  # not in main thread; skip
+
         # Device-resident stacks.
         images = jnp.asarray(train_data.images)
         targets = jnp.asarray(train_data.targets)
@@ -305,12 +321,22 @@ class Trainer:
                 self._log(f"LR below floor at epoch {epoch}; stopping")
                 stop = True
 
+            if preempted["flag"]:
+                self._log(f"Preemption signal at epoch {epoch}: "
+                          f"checkpointing 'latest' and exiting cleanly")
+                stop = True
+
             if stop or epoch == epochs:
                 ckpt.save_async("latest", state, host)
             if stop:
                 break
 
         ckpt.wait()
+        for sig, handler in prev_handlers.items():
+            _signal.signal(sig, handler)
+        if preempted["flag"] and prev_handlers:
+            # Re-deliver so callers/orchestrators observe the interruption.
+            raise KeyboardInterrupt("training preempted (state checkpointed)")
         self.final_state = state
         return prog.history
 
