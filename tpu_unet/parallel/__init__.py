@@ -6,3 +6,4 @@ from tpu_unet.parallel.mesh import (
     make_dp_tile_forward,
 )
 from tpu_unet.parallel.halo import halo_strip_inference
+from tpu_unet.parallel.distributed import initialize_multihost

@@ -45,7 +45,7 @@ class Checkpointer:
         self._ckptr = ocp.StandardCheckpointer()
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="ckpt")
-        self._pending = []
+        self._pending: Dict[str, Any] = {}
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
@@ -70,17 +70,26 @@ class Checkpointer:
 
     def save_async(self, tag: str, device_state: Any,
                    host_state: Dict[str, Any]) -> None:
-        """Queue a save without blocking the training loop."""
-        self._pending = [f for f in self._pending if not f.done()]
-        self._pending.append(
-            self._executor.submit(self.save, tag, device_state, dict(host_state))
-        )
+        """Queue a save without blocking the training loop.
+
+        Latest-wins per tag: if a save for the same tag is still queued (not
+        yet started), it is cancelled and replaced. Without this, fast epochs
+        outpace the device->host drain and every queued save pins its (stale)
+        device state tree — unbounded queueing exhausted HBM at ~150 epochs in
+        testing. At most one queued + one in-flight save per tag survive.
+        """
+        prev = self._pending.get(tag)
+        if prev is not None and not prev.done():
+            prev.cancel()  # no-op if already running; superseded if queued
+        self._pending[tag] = self._executor.submit(
+            self.save, tag, device_state, dict(host_state))
 
     def wait(self) -> None:
         """Drain queued async saves (re-raises the first failure)."""
-        for f in self._pending:
-            f.result()
-        self._pending = []
+        for f in self._pending.values():
+            if not f.cancelled():
+                f.result()
+        self._pending = {}
 
     def restore(self, tag: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
         self.wait()
