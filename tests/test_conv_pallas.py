@@ -9,18 +9,19 @@ import jax.numpy as jnp
 from tpu_unet.ops.conv_pallas import conv3x3_bias_relu, conv3x3_bias_relu_xla
 
 
+@pytest.mark.parametrize("impl", ["slab", "dma"])
 @pytest.mark.parametrize("shape,cout", [
     ((1, 18, 20, 8), 16),     # ho=16 multiple of block_rows
     ((2, 13, 16, 4), 8),      # ragged rows -> padding path
     ((1, 10, 34, 16), 32),
 ])
-def test_pallas_conv_matches_xla(shape, cout):
+def test_pallas_conv_matches_xla(shape, cout, impl):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*shape), jnp.float32)
     w = jnp.asarray(rng.randn(3, 3, shape[-1], cout) * 0.1, jnp.float32)
     b = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
     expected = conv3x3_bias_relu_xla(x, w, b)
-    got = conv3x3_bias_relu(x, w, b, block_rows=8, interpret=True)
+    got = conv3x3_bias_relu(x, w, b, block_rows=8, interpret=True, impl=impl)
     assert got.shape == expected.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-4, atol=1e-5)

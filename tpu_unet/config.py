@@ -42,6 +42,10 @@ class ModelConfig:
     compute_dtype: str = "float32"   # 'bfloat16' for the wide/perf configs
     param_dtype: str = "float32"
     remat: bool = False          # jax.checkpoint the encoder levels
+    # 'xla' (default): native XLA convolutions (autodiff-capable).
+    # 'pallas': fused conv+bias+ReLU Pallas tiles for the 3x3 convs —
+    # inference-only (no VJP); same parameter tree, so checkpoints interop.
+    conv_impl: str = "xla"
 
     @property
     def widths(self) -> Tuple[int, ...]:

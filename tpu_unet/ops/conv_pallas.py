@@ -63,9 +63,24 @@ def conv3x3_bias_relu(
     cout_tile: Optional[int] = None,
     out_dtype=None,
     interpret: bool = False,
+    impl: str = "slab",
 ) -> jax.Array:
     """x [B, H, W, Cin], w [3, 3, Cin, Cout], b [Cout] ->
-    relu(conv_valid(x, w) + b) [B, H-2, W-2, Cout]."""
+    relu(conv_valid(x, w) + b) [B, H-2, W-2, Cout].
+
+    impl='slab' (default): XLA pre-gathers overlapping row slabs, the kernel
+    reads plain VMEM blocks — verified on hardware at all U-Net shapes.
+    impl='dma': manual HBM->VMEM slab copies (no input duplication); this
+    environment's remote compile helper crashes on it for most shapes
+    ("Failed to find host bounds for accelerator type" — an infra env issue,
+    not a kernel bug), so it is not the default.
+    """
+    if impl == "slab":
+        return conv3x3_bias_relu_slab(
+            x, w, b, block_rows=block_rows, cout_tile=cout_tile,
+            out_dtype=out_dtype, interpret=interpret)
+    if impl != "dma":
+        raise ValueError(f"impl must be 'slab' or 'dma', got {impl!r}")
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     ho, wo = h - 2, wd - 2
