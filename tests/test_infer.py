@@ -83,6 +83,27 @@ def test_tiled_grid_covers_and_is_deterministic(tiny_model):
     assert np.isfinite(p1).all()
 
 
+def test_rectangular_image(tiny_model):
+    # PhC frames are 520x696; the engine tiles H and W independently.
+    model, params = tiny_model
+    img = np.random.RandomState(9).rand(52, 84).astype(np.float32)
+    eng = TileInference(model, 52, 84, tile_out=36, batch_tiles=4)
+    logits = np.asarray(eng.predict_logits(params, img))
+    assert logits.shape == (52, 84, 2)
+    assert np.isfinite(logits).all()
+    # oracle: stitch by hand
+    p = eng.plan
+    norm = (img - img.min()) / np.ptp(img)
+    padded = np.pad(norm, ((p.pad, p.pad + p.canvas_h - 52),
+                           (p.pad, p.pad + p.canvas_w - 84)), mode="reflect")
+    canvas = np.zeros((p.canvas_h, p.canvas_w, 2), np.float32)
+    for (y, x), (oy, ox) in zip(p.origins, p.out_origins):
+        tile = padded[y:y + p.tile_in, x:x + p.tile_in][None, ..., None]
+        out = np.asarray(model.apply(params, jnp.asarray(tile)))[0]
+        canvas[oy:oy + p.tile_out, ox:ox + p.tile_out] = out
+    np.testing.assert_allclose(logits, canvas[:52, :84], rtol=1e-4, atol=1e-5)
+
+
 def test_evaluate_driver(tiny_model, tmp_path):
     model, params = tiny_model
     data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20, seed=5)
