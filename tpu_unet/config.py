@@ -46,6 +46,10 @@ class ModelConfig:
     # 'pallas': fused conv+bias+ReLU Pallas tiles for the 3x3 convs —
     # inference-only (no VJP); same parameter tree, so checkpoints interop.
     conv_impl: str = "xla"
+    # Decoder first convs: conv(concat(skip, up)) == conv(skip, W_s) +
+    # conv(up, W_u); the split form never materializes the concat tensor
+    # (HBM traffic win at full resolution). Same parameter tree.
+    split_concat_conv: bool = True
 
     @property
     def widths(self) -> Tuple[int, ...]:
