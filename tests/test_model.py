@@ -124,6 +124,20 @@ def test_parity_init_statistics():
     assert np.all(np.abs(b) <= bound) and b.std() > 0
 
 
+def test_depth_3_variant():
+    # Depth generality: 3 pooling steps, context 12*8-8 = 88, input 8l+28.
+    from tpu_unet.core.geometry import context_for_depth, output_size_for_input
+
+    assert context_for_depth(3) == 88
+    cfg = ModelConfig(base_width=2, depth=3)
+    model = UNet(cfg)
+    x = jnp.zeros((1, 188, 188, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 100, 100, 2)
+    assert output_size_for_input(188, 3) == 100
+
+
 def test_center_crop_or_pad():
     a = jnp.arange(36, dtype=jnp.float32).reshape(1, 6, 6, 1)
     # crop 6 -> 2 center

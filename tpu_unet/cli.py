@@ -170,6 +170,25 @@ def main(argv: Optional[list] = None) -> int:
     from tpu_unet.train.trainer import Trainer, TrainState
 
     _, test_data = _load_data(args, ds_cfg)
+
+    if args.network.endswith(".pth"):
+        # Reference torch checkpoint: convert on the fly (convert.py). The
+        # reference trained with the as-implemented skip geometry, so parity
+        # mode is forced unless the user overrode it explicitly.
+        import jax.numpy as jnp
+
+        from tpu_unet.convert import load_torch_checkpoint
+        from tpu_unet.infer import evaluate as _evaluate
+        from tpu_unet.models import UNet as _UNet
+
+        params = jax.tree.map(jnp.asarray, load_torch_checkpoint(args.network))
+        model = _UNet(ModelConfig(skip_variant="parity",
+                                  compute_dtype=args.dtype))
+        output_dir = args.network[:-4] + "_test"
+        _evaluate(model, params, test_data, output_dir=output_dir,
+                  tile_out=args.tile_out, verbose=not args.quiet)
+        return 0
+
     # Self-describing checkpoints: prefer the model config stored at save time
     # (a width/variant mismatch otherwise dies in a flax shape error).
     import json
