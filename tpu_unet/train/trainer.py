@@ -142,7 +142,13 @@ class Trainer:
         nan_check: bool = False,
     ):
         self.dataset_cfg = dataset_cfg
-        self.model_cfg = model_cfg
+        # The split concat-conv is an inference-path optimization; its
+        # *backward* at small batch trips an XLA TPU space-to-batch assert
+        # (space_to_batch_converter.cc halo check). Train/eval with the plain
+        # concat form — the parameter tree is identical, so checkpoints serve
+        # with split_concat_conv=True unchanged.
+        self.model_cfg = dataclasses.replace(model_cfg, split_concat_conv=False)
+        model_cfg = self.model_cfg
         self.train_cfg = train_cfg
         self.loss_cfg = loss_cfg or dataset_cfg.loss()
         self.aug_cfg = aug_cfg or dataset_cfg.augment()
