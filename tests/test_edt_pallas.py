@@ -44,6 +44,32 @@ def test_pallas_column_pass_under_vmap():
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
 
 
+def test_num_valid_skips_padding_planes():
+    masks = np.stack([_blobs(32, 32, 2, 0), _blobs(32, 32, 1, 1),
+                      np.zeros((32, 32), bool), np.zeros((32, 32), bool)])
+    full = np.asarray(edt_batch(jnp.asarray(masks), use_pallas=False))
+    skip = np.asarray(edt_batch(jnp.asarray(masks), use_pallas=True,
+                                interpret=True, num_valid=jnp.int32(2)))
+    np.testing.assert_allclose(skip[:2], full[:2], rtol=1e-5)
+    assert np.isinf(skip[2:]).all()
+
+
+def test_num_valid_under_vmap():
+    # weighted_map path: vmap over batch with per-sample num counts.
+    masks = np.stack([
+        np.stack([_blobs(24, 24, 1, s), np.zeros((24, 24), bool)])
+        for s in range(3)
+    ])
+    nums = jnp.asarray([1, 1, 1], jnp.int32)
+    fn = jax.vmap(lambda m, n: edt_batch(m, use_pallas=True, interpret=True,
+                                         num_valid=n))
+    got = np.asarray(fn(jnp.asarray(masks), nums))
+    exp = np.asarray(jax.vmap(lambda m: edt_batch(m, use_pallas=False))(
+        jnp.asarray(masks)))
+    np.testing.assert_allclose(got[:, 0], exp[:, 0], rtol=1e-5)
+    assert np.isinf(got[:, 1]).all()
+
+
 def test_single_edt_unchanged():
     m = _blobs(32, 32, 2, 3)
     a = np.asarray(edt(jnp.asarray(m)))

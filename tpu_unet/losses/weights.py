@@ -67,8 +67,9 @@ def _weighted_map_single(gt: jax.Array, w0: float, sigma2: float,
     planes, num = component_planes(fg, max_objects)
     # Distance from every pixel to each object; empty planes give +inf.
     # (edt_batch routes the column pass through the VMEM-resident Pallas
-    # kernel on TPU — this is the train step's heaviest non-conv op.)
-    dists = edt_batch(planes)                     # [max_objects, H, W]
+    # kernel on TPU — the train step's heaviest non-conv op — and skips the
+    # padding planes beyond `num` outright.)
+    dists = edt_batch(planes, num_valid=num)      # [max_objects, H, W]
     # Two nearest objects per pixel. A full sort is O(K log K) per pixel; a
     # two-level min is cheaper and exact (reference sorts then takes [0], [1]).
     d1 = jnp.min(dists, axis=0)

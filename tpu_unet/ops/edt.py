@@ -81,13 +81,16 @@ def edt(mask: jax.Array) -> jax.Array:
 
 
 def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, num_valid=None) -> jax.Array:
     """[N, H, W] bool -> [N, H, W] f32 exact EDT.
 
     On TPU the column pass runs as a VMEM-resident Pallas kernel
     (ops/edt_pallas.py) — the scan formulation drags the full [N, H, W]
     accumulator through HBM on each of H steps; the kernel touches HBM twice
     per plane. CPU/interpret falls back to the scan (also the test oracle).
+
+    `num_valid` (traced scalar ok): planes at index >= num_valid are known
+    empty (static padding) and shortcut to +inf in the Pallas path.
     """
     g = jax.vmap(_row_distance)(masks)
     g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
@@ -96,7 +99,7 @@ def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
     if use_pallas:
         from tpu_unet.ops.edt_pallas import column_pass_pallas
 
-        d2 = column_pass_pallas(g2, interpret=interpret)
+        d2 = column_pass_pallas(g2, num_valid=num_valid, interpret=interpret)
     else:
         d2 = jax.vmap(_column_pass_from_g2)(g2)
     return jnp.sqrt(d2)

@@ -24,31 +24,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _col_pass_kernel(g2_ref, out_ref):
+def _col_pass_kernel(num_ref, g2_ref, out_ref):
     h, w = g2_ref.shape[-2], g2_ref.shape[-1]
-    # TPU iota must be integer-typed; cast after (mosaic rejects f32 iota).
-    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    pid = pl.program_id(0)
 
-    def body(r, acc):
-        rf = r.astype(jnp.float32)
-        di = rows - rf
-        cand = di * di + g2_ref[0, r, :][None, :]
-        return jnp.minimum(acc, cand)
+    # Planes beyond the live-object count are padding (component_planes pads
+    # to a static max_objects); their EDT is +inf by definition — skip the
+    # O(H^2 W) reduction entirely (typical crops carry ~8 of 32 planes).
+    @pl.when(pid < num_ref[0])
+    def _compute():
+        # TPU iota must be integer-typed; cast after (mosaic rejects f32 iota).
+        rows = lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
 
-    acc0 = jnp.full((h, w), jnp.inf, jnp.float32)
-    out_ref[0] = lax.fori_loop(0, h, body, acc0)
+        def body(r, acc):
+            rf = r.astype(jnp.float32)
+            di = rows - rf
+            cand = di * di + g2_ref[0, r, :][None, :]
+            return jnp.minimum(acc, cand)
+
+        acc0 = jnp.full((h, w), jnp.inf, jnp.float32)
+        out_ref[0] = lax.fori_loop(0, h, body, acc0)
+
+    @pl.when(pid >= num_ref[0])
+    def _skip():
+        out_ref[0] = jnp.full((h, w), jnp.inf, jnp.float32)
 
 
-def column_pass_pallas(g2: jax.Array, interpret: bool = False) -> jax.Array:
-    """g2 [N, H, W] f32 per-row squared distances -> [N, H, W] f32 D^2."""
+def column_pass_pallas(g2: jax.Array, num_valid=None,
+                       interpret: bool = False) -> jax.Array:
+    """g2 [N, H, W] f32 per-row squared distances -> [N, H, W] f32 D^2.
+
+    `num_valid` (scalar int32, default N): planes at index >= num_valid skip
+    the reduction and emit +inf directly."""
     n, h, w = g2.shape
+    if num_valid is None:
+        num_valid = n
+    num = jnp.asarray(num_valid, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
     return pl.pallas_call(
         _col_pass_kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -56,4 +78,4 @@ def column_pass_pallas(g2: jax.Array, interpret: bool = False) -> jax.Array:
             bytes_accessed=2 * n * h * w * 4,
             transcendentals=0,
         ),
-    )(g2)
+    )(num, g2)
