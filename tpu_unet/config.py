@@ -114,6 +114,11 @@ class TrainConfig:
     val_fraction: float = 0.2    # fold mode (``main_main.py:128``)
     seed: int = 0
     checkpoint_every: int = 25   # '_latest' cadence (``trainer.py:217``)
+    # Min epochs between 'best' saves (1 = reference parity: save every
+    # improvement, ``trainer.py:139-146``). On remote-tunnel backends each
+    # save's 248 MB device->host fetch stalls the compute stream ~25 s, so
+    # improvement streaks at ~1 s/epoch train faster with e.g. 10.
+    best_save_min_interval: int = 1
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
 
 

@@ -229,6 +229,7 @@ class Trainer:
         best_val_loss = float("inf")
         goal_saved = False
         epoch0 = 0
+        last_best_save = -(10 ** 9)
 
         if resume and ckpt.exists("latest"):
             state_restored, host = ckpt.restore("latest", state)
@@ -288,7 +289,9 @@ class Trainer:
                 "model_cfg": dataclasses.asdict(self.model_cfg),
             }
             if improved:
-                ckpt.save_async("best", state, host)
+                if epoch - last_best_save >= cfg.best_save_min_interval:
+                    ckpt.save_async("best", state, host)
+                    last_best_save = epoch
                 self._log(f"Epoch {epoch}: new best (val loss {val_stats.loss:.6f})")
 
             # Goal-based save (direction-aware; reference trainer.py:185-214).
