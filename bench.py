@@ -191,12 +191,18 @@ def main():
             float(noop(jnp.int32(0)))
         roundtrip = (time.perf_counter() - t0) / 5
 
-        log(f"  out={tile_out} batch={b}: generating tiles ...")
+        # Cap the resident tile buffer at ~600 MB: the remote AOT compiler
+        # rejects the 16x1212^2 scan at 10 iters (940 MB buffer) but accepts
+        # 6 iters (564 MB) — cap conservatively and let more repeats make up
+        # the measurement time.
+        iters = max(3, min(args.iters,
+                           int(6e8 / (b * tile_in * tile_in * 4))))
+        log(f"  out={tile_out} batch={b}: generating tiles ({iters} iters) ...")
         tiles = jax.random.uniform(
-            jax.random.PRNGKey(1), (args.iters, b, tile_in, tile_in, 1),
+            jax.random.PRNGKey(1), (iters, b, tile_in, tile_in, 1),
             jnp.float32)
         float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
-        log(f"  out={tile_out} batch={b}: compiling scan-{args.iters} ...")
+        log(f"  out={tile_out} batch={b}: compiling scan-{iters} ...")
         t0 = time.perf_counter()
         float(run(tiles))
         log(f"  out={tile_out} batch={b}: compile+first run "
@@ -209,9 +215,9 @@ def main():
             float(run(tiles))
             times.append(time.perf_counter() - t0 - roundtrip)
         dt = float(np.median(times))
-        tps = args.iters * b * tiles_per_fwd / dt
-        tf = unet_forward_flops(tile_in, args.width_mult) * args.iters * b / dt / 1e12
-        log(f"  out={tile_out} batch={b}: {args.iters} x {b} fwd in "
+        tps = iters * b * tiles_per_fwd / dt
+        tf = unet_forward_flops(tile_in, args.width_mult) * iters * b / dt / 1e12
+        log(f"  out={tile_out} batch={b}: {iters} x {b} fwd in "
             f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
             f"{tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
         return tps
@@ -227,12 +233,14 @@ def main():
         candidates = [(16, 1028), (8, 516)]
     best = 0.0
     for b, tout in candidates:
-        try:
-            best = max(best, bench_batch(b, tout))
-        except Exception as e:  # OOM at large batch: keep best so far
-            log(f"  out={tout} batch={b} failed: "
-                f"{type(e).__name__}: {str(e)[:200]}")
-            break
+        for attempt in (1, 2):
+            try:
+                best = max(best, bench_batch(b, tout))
+                break
+            except Exception as e:  # flaky remote-compile / OOM: retry once,
+                log(f"  out={tout} batch={b} attempt {attempt} failed: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+        # then fall through to the next candidate
 
     baseline = 1000.0
     print(json.dumps({
