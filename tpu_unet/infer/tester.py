@@ -54,21 +54,26 @@ def evaluate(
     writes ``test_iou.out`` / ``test_pe.out`` (reference ``tester.py:44-51``).
     """
     start = time.time()
-    engines: Dict[tuple, TileInference] = {}
-    per_image = []
-    for idx in range(len(data)):
-        img, tgt = square_crop(data.images[idx], data.targets[idx])
-        key = img.shape
-        if key not in engines:
-            engines[key] = TileInference(model, img.shape[0], img.shape[1],
-                                         tile_out=tile_out)
-        pred = engines[key].predict(params, img)
-        label = (tgt > 127).astype(np.int32)
-        m = np.asarray(evaluation_metrics(pred, jnp.asarray(label)))
-        per_image.append(m)
-        if output_dir is not None:
-            export_predictions(output_dir, idx, img, label * 255,
-                               np.asarray(pred) * 255)
+    # Group same-shaped frames so each shape runs as ONE vmapped program.
+    prepared = [square_crop(data.images[i], data.targets[i])
+                for i in range(len(data))]
+    groups: Dict[tuple, list] = {}
+    for idx, (img, tgt) in enumerate(prepared):
+        groups.setdefault(img.shape, []).append(idx)
+
+    per_image = [None] * len(data)
+    for shape, indices in groups.items():
+        engine = TileInference(model, shape[0], shape[1], tile_out=tile_out)
+        imgs = np.stack([prepared[i][0] for i in indices])
+        preds = np.asarray(engine.predict_batch(params, imgs))
+        for k, idx in enumerate(indices):
+            label = (prepared[idx][1] > 127).astype(np.int32)
+            m = np.asarray(evaluation_metrics(jnp.asarray(preds[k]),
+                                              jnp.asarray(label)))
+            per_image[idx] = m
+            if output_dir is not None:
+                export_predictions(output_dir, idx, prepared[idx][0],
+                                   label * 255, preds[k] * 255)
     metrics = np.stack(per_image)                      # [N, 2]
     result = {
         "iou_mean": float(np.nanmean(metrics[:, 0])),

@@ -96,6 +96,15 @@ class TileInference:
         """[H, W] -> [H, W] int32 class map (argmax, reference tester.py:30)."""
         return jnp.argmax(self.predict_logits(params, image), axis=-1)
 
+    def predict_batch(self, params, images) -> jax.Array:
+        """[N, H, W] -> [N, H, W] int32 class maps — one vmapped program for a
+        whole same-shaped eval set (the evaluation driver batches by shape)."""
+        if not hasattr(self, "_predict_batch"):
+            self._predict_batch = jax.jit(
+                jax.vmap(self._predict_impl, in_axes=(None, 0)))
+        logits = self._predict_batch(params, jnp.asarray(images, jnp.float32))
+        return jnp.argmax(logits, axis=-1)
+
 
 def make_tile_batch_forward(model, tile_in: int, batch: int):
     """The raw throughput kernel: jitted batched forward over input tiles

@@ -26,7 +26,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
