@@ -45,7 +45,7 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     assert "READY" in line
     import time
 
-    time.sleep(30)  # let at least one epoch complete (CPU compiles included)
+    time.sleep(18)  # let at least one epoch complete (CPU compiles included)
     proc.send_signal(signal.SIGTERM)
     out, err = proc.communicate(timeout=300)
     assert "PREEMPTED_CLEANLY" in out, (out, err[-2000:])
