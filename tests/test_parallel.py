@@ -117,6 +117,21 @@ def test_wide_bf16_dp_step(tiny):
     assert np.isfinite(float(loss))
 
 
+def test_mesh_sharded_tile_inference_matches_single_device(tiny):
+    # BASELINE config 4: one image's overlap tiles sharded across the mesh.
+    from tpu_unet.infer import TileInference
+
+    model, params = tiny
+    img = np.random.RandomState(11).rand(72, 72).astype(np.float32)
+    single = TileInference(model, 72, 72, tile_out=36, batch_tiles=4)
+    mesh = make_mesh(4)
+    meshed = TileInference(model, 72, 72, tile_out=36, batch_tiles=4,
+                           mesh=mesh)
+    a = np.asarray(single.predict_logits(params, img))
+    b = np.asarray(meshed.predict_logits(replicate(params, mesh), img))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_halo_strip_too_small_raises(tiny):
     model, _ = tiny
     mesh = make_mesh(4, axes=("spatial",))

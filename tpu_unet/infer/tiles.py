@@ -40,14 +40,24 @@ class TileInference:
 
     def __init__(self, model, image_h: int, image_w: int,
                  tile_out: Optional[int] = None, batch_tiles: int = 8,
-                 normalize: bool = True):
+                 normalize: bool = True, mesh=None, mesh_axis: str = "data"):
         """tile_out=None picks the whole-image single-tile plan (reference
-        behaviour-parity: ``data.py:184`` mirror pad + one forward)."""
+        behaviour-parity: ``data.py:184`` mirror pad + one forward).
+
+        `mesh`: a jax.sharding.Mesh — tile batches are sharded over
+        `mesh_axis` so one image's overlap tiles spread across the slice
+        (BASELINE config 4: tiles batched across a TPU mesh). batch_tiles is
+        rounded up to a multiple of the axis size."""
         self.model = model
         if tile_out is None:
             tile_out = input_size_compute(max(image_h, image_w))[2]
         self.plan: TilePlan = plan_tiles(image_h, image_w, tile_out)
         self.batch_tiles = min(batch_tiles, self.plan.num_tiles)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            n = mesh.shape[mesh_axis]
+            self.batch_tiles = max(n, _round_up(self.batch_tiles, n))
         self.normalize = normalize
         self._predict = jax.jit(partial(self._predict_impl))
 
@@ -74,6 +84,12 @@ class TileInference:
         chunks = tiles.reshape(n_chunks, b, p.tile_in, p.tile_in, 1)
 
         def fwd(tile_batch):
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tile_batch = jax.lax.with_sharding_constraint(
+                    tile_batch,
+                    NamedSharding(self.mesh, P(self.mesh_axis)))
             logits = self.model.apply(params, tile_batch)
             return center_crop_or_pad(logits, (p.tile_out, p.tile_out))
 
