@@ -132,6 +132,58 @@ def test_mesh_sharded_tile_inference_matches_single_device(tiny):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_halo_train_step_matches_single_device(tiny):
+    # Spatially-sharded training: loss AND parameter gradients must match a
+    # single-device computation on the equivalently mirror-padded image
+    # (grad flows through ppermute; param grads psum'd by shard_map transpose).
+    from tpu_unet.losses.bce import one_hot_targets
+    from tpu_unet.parallel.halo import make_halo_train_step
+
+    model, params = tiny
+    tx = make_optimizer(OptimConfig())
+    mesh = make_mesh(4, axes=("spatial",))
+    strip_h, width = 116, 116
+    h = 4 * strip_h
+    rng = np.random.RandomState(5)
+    img = rng.rand(h, width).astype(np.float32)
+    gt = (rng.rand(h, width) < 0.3).astype(np.int32)
+
+    step = make_halo_train_step(model, tx, mesh, strip_h, width)
+    state0 = replicate(TrainState(params, tx.init(params)), mesh)
+    state, loss, (iou_m, pe_m) = step(
+        state0,
+        shard_batch(jnp.asarray(img), mesh, axis="spatial"),
+        shard_batch(jnp.asarray(gt), mesh, axis="spatial"),
+    )
+
+    # single-device oracle: the same per-strip composition (a single whole-
+    # image pass is not equivalent — strip inputs are mirror-padded windows)
+    padded = np.pad(img, 92, mode="reflect")
+    windows = jnp.asarray(np.stack([
+        padded[i * strip_h: i * strip_h + strip_h + 184] for i in range(4)
+    ]))[..., None]                                   # [4, strip+184, W+184, 1]
+
+    def oracle_loss(p):
+        logits = model.apply(p, windows).reshape(h, width, 2)
+        y = jnp.asarray(gt).astype(jnp.float32)
+        bg_w = jnp.sum(y) / jnp.sum(1 - y)
+        w = jnp.where(jnp.asarray(gt) != 0, 1.0, bg_w)[..., None]
+        z = one_hot_targets(jnp.asarray(gt)[None])[0]
+        x = logits.astype(jnp.float32)
+        bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        return jnp.mean(w * bce)
+
+    exp_loss, exp_grads = jax.value_and_grad(oracle_loss)(params)
+    np.testing.assert_allclose(float(loss), float(exp_loss), rtol=1e-5)
+    # compare updated params against oracle-grad SGD update
+    updates, _ = tx.update(exp_grads, tx.init(params), params)
+    exp_params = jax.tree.map(lambda a, u: a + u, params, updates)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(exp_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    assert 0.0 <= float(pe_m) <= 1.0
+
+
 def test_halo_strip_too_small_raises(tiny):
     model, _ = tiny
     mesh = make_mesh(4, axes=("spatial",))

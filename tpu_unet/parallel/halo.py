@@ -36,6 +36,96 @@ def _mirror_rows_bottom(strip: jax.Array, pad: int) -> jax.Array:
     return strip[-pad - 1:-1][::-1]
 
 
+def _halo_forward_local(model, params, strip, axis: str, n: int, pad: int):
+    """Shared shard-local forward: exchange row halos with ring neighbours
+    (mirror at the edges), mirror columns locally, run the network.
+    strip [s, W] -> logits [s, W, C]."""
+    i = lax.axis_index(axis)
+    fwd_perm = [(j, j + 1) for j in range(n - 1)]   # send downward
+    bwd_perm = [(j + 1, j) for j in range(n - 1)]   # send upward
+    from_above = lax.ppermute(strip[-pad:], axis, fwd_perm)
+    from_below = lax.ppermute(strip[:pad], axis, bwd_perm)
+    top = jnp.where(i == 0, _mirror_rows_top(strip, pad), from_above)
+    bottom = jnp.where(i == n - 1, _mirror_rows_bottom(strip, pad), from_below)
+    x = jnp.concatenate([top, strip, bottom], axis=0)
+    cols = jnp.concatenate(
+        [x[:, 1:pad + 1][:, ::-1], x, x[:, -pad - 1:-1][:, ::-1]], axis=1
+    )
+    return model.apply(params, cols[None, :, :, None])[0]
+
+
+def make_halo_train_step(model, tx, mesh: Mesh, strip_h: int, width: int,
+                         axis: str = "spatial"):
+    """Spatially-sharded training step for images too large for one chip:
+    one sample's rows are sharded over `axis`; the forward exchanges
+    receptive-field halos via ppermute, the loss uses class-balance weights
+    with *global* class counts (psum), and gradients flow back through the
+    halo exchange (ppermute transposes to the reverse permute) with the
+    parameter gradient all-reduce inserted automatically by shard_map's
+    unmapped-argument transpose.
+
+    Distance-transform weights are not supported in this mode (the exact EDT
+    is a global computation; use crop-based DP training for that workload —
+    SURVEY.md §2.14 positions spatial sharding as the large-image analog of
+    context parallelism).
+
+    Returns step(state, image [n*strip_h, width] sharded by rows,
+    labels [n*strip_h, width] i32 sharded by rows) ->
+    (state, loss, (iou, pixel_error)) with scalars replicated.
+    """
+    from tpu_unet.losses.bce import one_hot_targets
+    from tpu_unet.train.trainer import TrainState
+
+    pad = CONTEXT // 2
+    n = mesh.shape[axis]
+    output_size_for_input(strip_h + CONTEXT)
+    output_size_for_input(width + CONTEXT)
+    if strip_h <= pad:
+        raise ValueError(f"strip height {strip_h} <= halo {pad}")
+
+    def shard_loss(params, strip, gt_strip):
+        logits = _halo_forward_local(model, params, strip, axis, n, pad)
+        y = gt_strip.astype(jnp.float32)
+        n_cell = lax.psum(jnp.sum(y), axis)
+        n_bg = lax.psum(jnp.sum(1.0 - y), axis)
+        bg_w = jnp.where(n_bg > 0, n_cell / jnp.maximum(n_bg, 1.0), 1.0)
+        bg_w = jnp.where((n_cell > 0) & (n_bg > 0), bg_w, 1.0)
+        w = jnp.where(gt_strip != 0, 1.0, bg_w)[..., None]
+        z = one_hot_targets(gt_strip[None])[0]
+        x = logits.astype(jnp.float32)
+        bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        loss_sum = lax.psum(jnp.sum(w * bce), axis)
+        count = lax.psum(jnp.asarray(bce.size, jnp.float32), axis)
+        # per-shard metric partials (exact global IoU / pixel error)
+        pred = jnp.argmax(logits, axis=-1)
+        inter = lax.psum(jnp.sum((pred != 0) & (gt_strip != 0)), axis)
+        union = lax.psum(jnp.sum((pred != 0) | (gt_strip != 0)), axis)
+        pe = lax.psum(jnp.sum(jnp.abs(pred - gt_strip)), axis)
+        npx = lax.psum(jnp.asarray(pred.size, jnp.float32), axis)
+        aux = (inter.astype(jnp.float32) / union.astype(jnp.float32),
+               pe.astype(jnp.float32) / npx)
+        return loss_sum / count, aux
+
+    def loss_fn(params, image, labels):
+        f = shard_map(
+            lambda p, s, g: shard_loss(p, s, g),
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis, None)),
+            out_specs=(P(), (P(), P())),
+            check_vma=False,
+        )
+        return f(params, image, labels)
+
+    def step(state, image, labels):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, image, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda a, u: a + u, state.params, updates)
+        return TrainState(params, opt_state), loss, aux
+
+    return jax.jit(step)
+
+
 def halo_strip_inference(model, mesh: Mesh, strip_h: int, width: int,
                          axis: str = "spatial"):
     """Build a sharded whole-image forward: image [n*strip_h, width] f32
@@ -57,22 +147,7 @@ def halo_strip_inference(model, mesh: Mesh, strip_h: int, width: int,
 
     def strip_fn(params, strip):
         # strip: [strip_h, width] — this device's rows.
-        i = lax.axis_index(axis)
-        fwd_perm = [(j, j + 1) for j in range(n - 1)]   # send downward
-        bwd_perm = [(j + 1, j) for j in range(n - 1)]   # send upward
-        # Halo from the device above: its bottom `pad` rows.
-        from_above = lax.ppermute(strip[-pad:], axis, fwd_perm)
-        # Halo from the device below: its top `pad` rows.
-        from_below = lax.ppermute(strip[:pad], axis, bwd_perm)
-        top = jnp.where(i == 0, _mirror_rows_top(strip, pad), from_above)
-        bottom = jnp.where(i == n - 1, _mirror_rows_bottom(strip, pad), from_below)
-        x = jnp.concatenate([top, strip, bottom], axis=0)  # [strip_h + 2*pad, W]
-        # Columns: fully local, mirror both sides.
-        cols = jnp.concatenate(
-            [x[:, 1:pad + 1][:, ::-1], x, x[:, -pad - 1:-1][:, ::-1]], axis=1
-        )
-        logits = model.apply(params, cols[None, :, :, None])
-        return logits[0]                                  # [strip_h, W, C]
+        return _halo_forward_local(model, params, strip, axis, n, pad)
 
     sharded = shard_map(
         strip_fn,
