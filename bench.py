@@ -143,7 +143,6 @@ def main():
     import numpy as np
 
     from tpu_unet.config import ModelConfig
-    from tpu_unet.infer.tiles import make_tile_batch_forward
     from tpu_unet.models import UNet
 
     dev = jax.devices()[0]
