@@ -165,7 +165,10 @@ def main():
     def chip_health():
         from jax import lax as _lax
 
-        x = _j.ones((4096, 4096), _j.bfloat16)
+        # entries 1/4096 keep c @ c exactly stable (row sums = 1/4096 * 4096
+        # * 1/4096 = 1/4096) — a ones-matrix chain overflows bf16 to inf and
+        # non-finite arithmetic skews the timing.
+        x = _j.full((4096, 4096), 1.0 / 4096.0, _j.bfloat16)
 
         @jax.jit
         def chain(a):
