@@ -184,8 +184,10 @@ def main():
         return 20 * 2 * 4096 ** 3 / dt / 1e12
 
     health = chip_health()
-    log(f"chip health: {health:.1f} TF/s bf16 matmul "
-        f"({'OK' if health > 120 else 'DEGRADED — results unrepresentative'})")
+    # Informational only: the scan-chain matmul reads ~50-60 TF/s even in
+    # windows where the U-Net bench hits full speed, so it cannot classify
+    # chip state by itself — compare `value` against `healthy_reference`.
+    log(f"chip probe: {health:.1f} TF/s bf16 matmul-chain (informational)")
 
     log("initializing params (on small shape) ...")
     params = model.init(rng, jnp.zeros((1, 188, 188, 1), jnp.float32))
