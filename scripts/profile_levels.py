@@ -13,28 +13,6 @@ import numpy as np
 from jax import lax
 
 
-def time_fn(fn, *args, iters=20):
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32)[0, 0, 0]))    # sync compile
-    t0 = time.perf_counter()
-    for _ in range(2):
-        float(jnp.sum(fn(*args).astype(jnp.float32)[0, 0, 0]))
-    rt = (time.perf_counter() - t0) / 2                  # roundtrip+1 exec
-
-    @jax.jit
-    def chain(x):
-        def step(c, _):
-            return fn(*((c,) + args[1:])), None
-        y, _ = lax.scan(step, x, None, length=iters)
-        return y
-
-    float(jnp.sum(chain(args[0]).astype(jnp.float32)[0, 0, 0]))
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(args[0]).astype(jnp.float32)[0, 0, 0]))
-    total = time.perf_counter() - t0
-    return (total - (rt - 0)) / iters
-
-
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     tile_in = int(sys.argv[2]) if len(sys.argv) > 2 else 700
@@ -58,11 +36,10 @@ def main():
             y = jnp.maximum(lax.conv_general_dilated(
                 y, w2, (1, 1), "VALID", dimension_numbers=dn,
                 preferred_element_type=jnp.float32), 0).astype(jnp.bfloat16)
-            # pad back to input size so scan can chain (timing-only trick)
-            return jnp.pad(y, ((0, 0), (2, 2), (2, 2), (0, 0)))[..., :x.shape[-1]] \
-                if False else y
+            return y
 
-        # chain can't reuse shapes; time with single-call loop instead
+        # output shape differs from input, so no scan chaining; per-call
+        # timings below include the ~30 ms tunnel roundtrip each.
         y = block(x)
         float(jnp.sum(y.astype(jnp.float32)[0, 0, 0]))
         times = []
