@@ -1,0 +1,124 @@
+"""Dataset acquisition (reference ``data.py:316-456``).
+
+Fetches the Cell Tracking Challenge archives and the ISBI2012 multipage
+TIFFs into the reference's on-disk layout (``data/{NAME}-{training|challenge}``
+with ``0N`` image dirs and ``0N_GT/SEG`` labels), so ingest works identically
+on reference-downloaded and self-downloaded trees.
+
+Uses stdlib urllib (the reference shells out to wget); the Google-Drive
+pretrained-torch-checkpoint fetcher (``data.py:398-452``) is intentionally
+not reproduced — torch checkpoints are not loadable into this framework;
+train from scratch or convert explicitly.
+
+Note: air-gapped environments (like the build/CI container) cannot reach
+these hosts; callers should catch `DownloadError` and fall back to
+`tpu_unet.data.synthetic`. The ISBI host (brainiac2.mit.edu) is defunct
+upstream (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from typing import Tuple
+
+import numpy as np
+
+CTC_URL = "http://data.celltrackingchallenge.net/{kind}-datasets/{name}.zip"
+ISBI_URL = "http://brainiac2.mit.edu/isbi_challenge/sites/default/files/{t}-{folder}.tif"
+
+
+class DownloadError(RuntimeError):
+    pass
+
+
+def _fetch(url: str, dest: str, timeout: float = 60.0) -> None:
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(dest, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except Exception as e:  # pragma: no cover - network dependent
+        raise DownloadError(f"failed to fetch {url}: {e}") from e
+
+
+def download_ctc(data_dir: str, name: str, kind: str = "training") -> str:
+    """Download + extract one CTC dataset to ``{data_dir}/{name}-{kind}``."""
+    folder = os.path.join(data_dir, f"{name}-{kind}")
+    if os.path.isdir(folder):
+        return folder
+    os.makedirs(data_dir, exist_ok=True)
+    zpath = os.path.join(data_dir, f"{name}.zip")
+    _fetch(CTC_URL.format(kind=kind, name=name), zpath)
+    with zipfile.ZipFile(zpath) as z:
+        z.extractall(data_dir)
+    os.rename(os.path.join(data_dir, name), folder)
+    os.remove(zpath)
+    return folder
+
+
+def download_isbi(data_dir: str, kind: str = "training") -> str:
+    """Download ISBI2012 and split the multipage TIFFs into the CTC-style
+    layout, converting label frames to instance masks via connected components
+    (reference ``data.py:331-381``; CC runs through our own op, not cv2)."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from tpu_unet.ops.cc import connected_components
+
+    t = "train" if kind == "training" else "test"
+    folder = os.path.join(data_dir, f"ISBI2012-{kind}")
+    if os.path.isdir(folder):
+        return folder
+    os.makedirs(folder, exist_ok=True)
+    folders: Tuple[str, ...] = ("volume", "labels") if kind == "training" else ("volume",)
+    for kindname in folders:
+        tif = os.path.join(folder, f"{t}-{kindname}.tif")
+        _fetch(ISBI_URL.format(t=t, folder=kindname), tif)
+        seq = "01" if kindname == "volume" else "01_GT"
+        outdir = os.path.join(folder, seq, "SEG") if kindname == "labels" \
+            else os.path.join(folder, seq)
+        os.makedirs(outdir, exist_ok=True)
+        img = Image.open(tif)
+        i = 0
+        while True:
+            try:
+                img.seek(i)
+            except EOFError:
+                break
+            frame = np.asarray(img)
+            if kindname == "volume":
+                Image.fromarray(frame).save(os.path.join(outdir, f"t{i:03d}.tif"))
+            else:
+                lab = np.asarray(
+                    connected_components(jnp.asarray(frame > 0))
+                )
+                # compact sentinel background to 0, components to 1..K
+                ids = np.unique(lab[frame > 0])
+                compact = np.zeros(lab.shape, np.int32)
+                for k, v in enumerate(ids, start=1):
+                    compact[lab == v] = k
+                Image.fromarray(compact.astype(np.uint16)).save(
+                    os.path.join(outdir, f"man_seg{i:03d}.tif"))
+            i += 1
+    return folder
+
+
+def download_all(data_dir: str) -> None:
+    """All three workloads (reference ``data.py:384-395``)."""
+    for name in ("DIC-C2DH-HeLa", "PhC-C2DH-U373"):
+        for kind in ("training", "challenge"):
+            download_ctc(data_dir, name, kind)
+    for kind in ("training", "challenge"):
+        download_isbi(data_dir, kind)
+
+
+if __name__ == "__main__":  # runnable standalone like reference data.py:454
+    import sys
+
+    download_all(sys.argv[1] if len(sys.argv) > 1 else "data")

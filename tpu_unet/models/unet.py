@@ -1,0 +1,271 @@
+"""The 23-layer valid-convolution U-Net (Ronneberger et al. 2015) in Flax.
+
+Capability-equivalent redesign of reference ``network.py:8-192``:
+
+* NHWC layout (TPU-native; channels ride the 128-lane dimension so the MXU
+  tiles the conv contractions), bf16-capable compute with f32 params/logits.
+* Two skip-connection variants (SURVEY.md §2.1):
+  - ``paper``  : skips captured *before* max-pool and center-cropped — the
+    geometry of the paper's Fig. 1. Default.
+  - ``parity`` : skips captured *after* max-pool and zero-padded up — the
+    reference as implemented (``network.py:133-134`` captures ``t1`` after
+    ``F.max_pool2d``; ``crop_and_concat`` at ``network.py:108-127`` then always
+    zero-pads). Same end-to-end size arithmetic (input 16l+60 -> output 16l-124).
+* Two init schemes (SURVEY.md §2.1):
+  - ``paper``  : He-normal, std = sqrt(2/N), N = k^2 * fan_in, zero biases.
+  - ``parity`` : the reference's scheme as written (``network.py:70-105``) —
+    first conv std = sqrt(2), every other layer std = 2/sqrt(N) (operator
+    precedence makes ``2 / (N) ** 0.5`` bind as ``2 / sqrt(N)``), decoder
+    first-conv N summed over both concat sources with their own kernel sizes,
+    upconv N using the previous layer's 3x3 kernel, torch-default uniform
+    biases.
+* Channel-width multiplier (BASELINE config 5: 2x-wide bf16 variant) and
+  optional rematerialization of encoder/decoder levels.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpu_unet.config import ModelConfig
+
+
+def center_crop_or_pad(a: jax.Array, target_hw: Sequence[int]) -> jax.Array:
+    """Center-crop (if larger) or zero-pad (if smaller) NHWC `a` to target H,W.
+
+    Generalizes reference ``network.py:108-127`` (``F.pad`` with negative pad
+    crops, positive pad zero-fills); offsets truncate toward zero like the
+    reference's ``int((A - B) * 0.5)``.
+    """
+    h, w = a.shape[1], a.shape[2]
+    th, tw = target_hw
+    dh = int((h - th) * 0.5)
+    dw = int((w - tw) * 0.5)
+    if dh > 0 or dw > 0:  # crop
+        a = a[:, max(dh, 0): max(dh, 0) + min(th, h), max(dw, 0): max(dw, 0) + min(tw, w), :]
+    if dh < 0 or dw < 0:  # zero-pad
+        ph, pw = max(-dh, 0), max(-dw, 0)
+        a = jnp.pad(
+            a,
+            ((0, 0), (ph, th - a.shape[1] - ph), (pw, tw - a.shape[2] - pw), (0, 0)),
+        )
+    return a
+
+
+def _normal_init(std: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _uniform_init(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _conv_inits(scheme: str, k: int, fan_in: float, *, first: bool = False,
+                parity_n: float | None = None):
+    """(kernel_init, bias_init) for a conv layer.
+
+    paper : std = sqrt(2 / (k^2 * fan_in)), zero bias.
+    parity: std = sqrt(2) for the very first conv (``network.py:70``), else
+            2 / sqrt(parity_n); bias ~ U(-1/sqrt(k^2*fan_in), +) (torch default,
+            never overridden by the reference).
+    """
+    if scheme == "paper":
+        std = math.sqrt(2.0 / (k * k * fan_in))
+        return _normal_init(std), nn.initializers.zeros_init()
+    elif scheme == "parity":
+        if first:
+            std = math.sqrt(2.0)
+        else:
+            assert parity_n is not None
+            std = 2.0 / math.sqrt(parity_n)
+        bound = 1.0 / math.sqrt(k * k * fan_in)
+        return _normal_init(std), _uniform_init(bound)
+    raise ValueError(f"unknown init scheme: {scheme}")
+
+
+class _PallasConvRelu(nn.Module):
+    """3x3 valid conv + bias + ReLU via the fused Pallas tile kernel
+    (ops/conv_pallas.py). Parameter tree matches nn.Conv ({kernel, bias}),
+    so checkpoints interoperate; inference-only (no VJP). Callers' extra
+    nn.relu is idempotent on the fused output."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from tpu_unet.ops.conv_pallas import conv3x3_bias_relu
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        interpret = jax.default_backend() == "cpu"
+        return conv3x3_bias_relu(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), interpret=interpret)
+
+
+class _SplitConcatConv(nn.Module):
+    """conv3x3(concat(a, b)) computed as conv(a, W[..., :Ca, :]) +
+    conv(b, W[..., Ca:, :]) + bias — identical math, but the concat tensor is
+    never materialized (HBM traffic win at full resolution). The parameter
+    tree matches nn.Conv over the concatenated input, so checkpoints and the
+    torch converter interoperate."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, ca + cb, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, (3, 3, ca, self.features), ("NHWC", "HWIO", "NHWC"))
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), k[:, :, :ca], (1, 1), "VALID",
+            dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), k[:, :, ca:], (1, 1), "VALID",
+            dimension_numbers=dn)
+        return ya + yb + bias.astype(self.dtype)
+
+
+class UNet(nn.Module):
+    """Valid-conv U-Net. Input NHWC [B, H, W, in_channels] with H = W a valid
+    input size (core.geometry); output f32 logits [B, H-ctx, W-ctx, num_classes].
+    """
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        if cfg.skip_variant not in ("paper", "parity"):
+            raise ValueError(f"skip_variant must be 'paper' or 'parity', got {cfg.skip_variant!r}")
+        # Reject sizes the valid-conv geometry can't carry (pooling would
+        # silently floor odd extents and misalign the skips).
+        from tpu_unet.core.geometry import output_size_for_input
+        for dim in (1, 2):
+            try:
+                output_size_for_input(x.shape[dim], cfg.depth)
+            except ValueError as e:
+                raise ValueError(
+                    f"input axis {dim} has size {x.shape[dim]}, not a valid U-Net "
+                    f"input size for depth {cfg.depth} (use core.geometry."
+                    f"input_size_compute)") from e
+        widths = cfg.widths
+        cdt = jnp.dtype(cfg.compute_dtype)
+        pdt = jnp.dtype(cfg.param_dtype)
+        scheme = cfg.init_scheme
+
+        def conv3(x, feat, name, *, first=False, parity_n=None):
+            fan_in = x.shape[-1]
+            kinit, binit = _conv_inits(scheme, 3, fan_in, first=first, parity_n=parity_n)
+            if cfg.conv_impl == "pallas":
+                return _PallasConvRelu(
+                    feat, kernel_init=kinit, bias_init=binit, name=name,
+                    dtype=cdt, param_dtype=pdt,
+                )(x)
+            return nn.Conv(
+                feat, (3, 3), padding="VALID", name=name,
+                kernel_init=kinit, bias_init=binit,
+                dtype=cdt, param_dtype=pdt,
+            )(x)
+
+        def upconv(x, feat, name):
+            fan_in = x.shape[-1]
+            if scheme == "paper":
+                kinit, binit = _conv_inits("paper", 2, fan_in)
+            else:
+                # ``network.py:85,90,95,100``: upconv std uses the previous 3x3
+                # kernel size in N; torch ConvTranspose2d default bias bound is
+                # 1/sqrt(out_ch * k^2) (fan computed on the [in,out,k,k] weight).
+                kinit = _normal_init(2.0 / math.sqrt(fan_in * 9.0))
+                binit = _uniform_init(1.0 / math.sqrt(feat * 4.0))
+            return nn.ConvTranspose(
+                feat, (2, 2), strides=(2, 2), padding="VALID", name=name,
+                kernel_init=kinit, bias_init=binit,
+                dtype=cdt, param_dtype=pdt,
+            )(x)
+
+        def enc_level(x, d):
+            x = nn.relu(conv3(x, widths[d], f"enc{d}_conv1",
+                              first=(d == 0),
+                              parity_n=x.shape[-1] * 9.0))
+            x = nn.relu(conv3(x, widths[d], f"enc{d}_conv2",
+                              parity_n=x.shape[-1] * 9.0))
+            return x
+
+        x = x.astype(cdt)
+        skips = []
+        for d in range(cfg.depth):
+            if cfg.remat:
+                x = nn.remat(enc_level, static_argnums=(1,))(x, d)
+            else:
+                x = enc_level(x, d)
+            if cfg.skip_variant == "paper":
+                skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if cfg.skip_variant == "parity":
+                skips.append(x)
+
+        # Bottleneck
+        x = nn.relu(conv3(x, widths[cfg.depth], "bottleneck_conv1",
+                          parity_n=x.shape[-1] * 9.0))
+        x = nn.relu(conv3(x, widths[cfg.depth], "bottleneck_conv2",
+                          parity_n=x.shape[-1] * 9.0))
+
+        for d in reversed(range(cfg.depth)):
+            x = upconv(x, widths[d], f"up{d}")
+            skip = center_crop_or_pad(skips[d], x.shape[1:3])
+            # Decoder first conv: parity N sums both concat sources with their
+            # own kernel sizes (``network.py:87,92,97,102``): skip source is a
+            # 3x3 conv output, upconv source a 2x2 kernel.
+            n1 = widths[d] * 9.0 + widths[d] * 4.0
+            if cfg.split_concat_conv and cfg.conv_impl == "xla":
+                x = nn.relu(_SplitConcatConv(
+                    widths[d], name=f"dec{d}_conv1",
+                    kernel_init=_conv_inits(scheme, 3, 2 * widths[d],
+                                            parity_n=n1)[0],
+                    bias_init=_conv_inits(scheme, 3, 2 * widths[d],
+                                          parity_n=n1)[1],
+                    dtype=cdt, param_dtype=pdt,
+                )(skip, x))
+            else:
+                x = jnp.concatenate([skip, x], axis=-1)
+                x = nn.relu(conv3(x, widths[d], f"dec{d}_conv1", parity_n=n1))
+            x = nn.relu(conv3(x, widths[d], f"dec{d}_conv2",
+                              parity_n=x.shape[-1] * 9.0))
+
+        # 1x1 head to num_classes, no activation (``network.py:58,190``).
+        fan_in = x.shape[-1]
+        if scheme == "paper":
+            kinit, binit = _conv_inits("paper", 1, fan_in)
+        else:
+            # ``network.py:105``: N uses the previous layer's 3x3 kernel.
+            kinit = _normal_init(2.0 / math.sqrt(fan_in * 9.0))
+            binit = _uniform_init(1.0 / math.sqrt(fan_in * 1.0))
+        x = nn.Conv(cfg.num_classes, (1, 1), padding="VALID", name="head",
+                    kernel_init=kinit, bias_init=binit,
+                    dtype=cdt, param_dtype=pdt)(x)
+        return x.astype(jnp.float32)
