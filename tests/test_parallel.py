@@ -190,3 +190,62 @@ def test_halo_strip_too_small_raises(tiny):
     with pytest.raises(ValueError):
         # 36+184=220 is a valid input size but 36 < 92 halo
         halo_strip_inference(model, mesh, 36, 116)
+
+
+def test_dp_halo_train_step_matches_single_device(tiny):
+    # Composed 2D mesh (data x spatial): batch sharded on 'data', each
+    # image's rows sharded on 'spatial' with halo exchange. Loss, metrics,
+    # and the SGD-updated parameters must match a single-device oracle that
+    # runs each sample strip-by-strip with per-sample class-balance weights.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_unet.losses.bce import one_hot_targets
+    from tpu_unet.parallel.halo import make_dp_halo_train_step
+
+    model, params = tiny
+    tx = make_optimizer(OptimConfig())
+    n_d, n_s, strip_h, width, B = 2, 2, 116, 116, 4
+    mesh = make_mesh(n_d * n_s, axes=("data", "spatial"), shape=(n_d, n_s))
+    h = n_s * strip_h
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(B, h, width).astype(np.float32)
+    gts = (rng.rand(B, h, width) < 0.3).astype(np.int32)
+
+    step = make_dp_halo_train_step(model, tx, mesh, strip_h, width)
+    sh = NamedSharding(mesh, P("data", "spatial", None))
+    state0 = replicate(TrainState(params, tx.init(params)), mesh)
+    state, loss, (iou_m, pe_m) = step(
+        state0, jax.device_put(jnp.asarray(imgs), sh),
+        jax.device_put(jnp.asarray(gts), sh))
+
+    # single-device oracle: per-strip composition per sample
+    windows = jnp.asarray(np.stack([
+        np.pad(img, 92, mode="reflect")[i * strip_h: i * strip_h + strip_h + 184]
+        for img in imgs for i in range(n_s)
+    ]))[..., None]                          # [B*n_s, strip+184, W+184, 1]
+
+    def oracle_loss(p):
+        logits = model.apply(p, windows).reshape(B, h, width, 2)
+        y = jnp.asarray(gts).astype(jnp.float32)
+        bg_w = jnp.sum(y, axis=(1, 2)) / jnp.sum(1 - y, axis=(1, 2))
+        w = jnp.where(jnp.asarray(gts) != 0, 1.0, bg_w[:, None, None])[..., None]
+        z = one_hot_targets(jnp.asarray(gts))
+        x = logits.astype(jnp.float32)
+        bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        return jnp.mean(w * bce)
+
+    exp_loss, exp_grads = jax.value_and_grad(oracle_loss)(params)
+    np.testing.assert_allclose(float(loss), float(exp_loss), rtol=1e-5)
+    updates, _ = tx.update(exp_grads, tx.init(params), params)
+    exp_params = jax.tree.map(lambda a, u: a + u, params, updates)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(exp_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    # oracle metrics: per-sample IoU / pixel error, batch mean
+    logits = model.apply(params, windows).reshape(B, h, width, 2)
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    inter = ((pred != 0) & (gts != 0)).sum(axis=(1, 2))
+    union = ((pred != 0) | (gts != 0)).sum(axis=(1, 2))
+    np.testing.assert_allclose(float(iou_m), (inter / union).mean(), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(pe_m), np.abs(pred - gts).mean(axis=(1, 2)).mean(), rtol=1e-5)

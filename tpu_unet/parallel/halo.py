@@ -126,6 +126,87 @@ def make_halo_train_step(model, tx, mesh: Mesh, strip_h: int, width: int,
     return jax.jit(step)
 
 
+def make_dp_halo_train_step(model, tx, mesh: Mesh, strip_h: int, width: int,
+                            data_axis: str = "data",
+                            spatial_axis: str = "spatial"):
+    """Composed 2D-mesh training (BASELINE configs 4+5 combined): a batch of
+    large images sharded on `data`, each image's rows simultaneously sharded
+    on `spatial` with ppermute halo exchange.
+
+    Per-sample class-balance weights use *per-image* global counts (psum over
+    the spatial axis only); the loss/gradient mean couples both axes, so
+    shard_map's transpose inserts the parameter-grad psum over the full 2D
+    mesh. Inputs: images [B, n_s*strip_h, width] f32 and labels (same shape,
+    i32), both sharded P(data, spatial, None). Returns
+    (state, loss, (mean IoU, mean pixel error)) with replicated scalars.
+    """
+    from tpu_unet.losses.bce import one_hot_targets
+    from tpu_unet.train.trainer import TrainState
+
+    pad = CONTEXT // 2
+    n_s = mesh.shape[spatial_axis]
+    n_d = mesh.shape[data_axis]
+    output_size_for_input(strip_h + CONTEXT)
+    output_size_for_input(width + CONTEXT)
+    if strip_h <= pad:
+        raise ValueError(f"strip height {strip_h} <= halo {pad}")
+
+    def shard_loss(params, strips, gts):
+        # strips: [b_loc, strip_h, width] — this device's rows of its
+        # local batch shard. The named-axis collectives inside the
+        # per-sample forward batch cleanly under vmap.
+        fwd = lambda s: _halo_forward_local(model, params, s, spatial_axis,
+                                            n_s, pad)
+        logits = jax.vmap(fwd)(strips)                      # [b, s, W, C]
+        y = gts.astype(jnp.float32)
+        n_cell = lax.psum(jnp.sum(y, axis=(1, 2)), spatial_axis)        # [b]
+        n_bg = lax.psum(jnp.sum(1.0 - y, axis=(1, 2)), spatial_axis)    # [b]
+        bg_w = jnp.where(n_bg > 0, n_cell / jnp.maximum(n_bg, 1.0), 1.0)
+        bg_w = jnp.where((n_cell > 0) & (n_bg > 0), bg_w, 1.0)
+        w = jnp.where(gts != 0, 1.0, bg_w[:, None, None])[..., None]
+        z = one_hot_targets(gts)
+        x = logits.astype(jnp.float32)
+        bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        axes = (data_axis, spatial_axis)
+        loss_sum = lax.psum(jnp.sum(w * bce), axes)
+        count = lax.psum(jnp.asarray(bce.size, jnp.float32), axes)
+        # per-sample IoU / pixel error (global over each image's rows),
+        # then mean over the global batch.
+        pred = jnp.argmax(logits, axis=-1)
+        inter = lax.psum(jnp.sum((pred != 0) & (gts != 0), axis=(1, 2)),
+                         spatial_axis).astype(jnp.float32)
+        union = lax.psum(jnp.sum((pred != 0) | (gts != 0), axis=(1, 2)),
+                         spatial_axis).astype(jnp.float32)
+        pe = lax.psum(jnp.sum(jnp.abs(pred - gts), axis=(1, 2)),
+                      spatial_axis).astype(jnp.float32)
+        npx = jnp.asarray(n_s * strip_h * width, jnp.float32)
+        b_global = jnp.asarray(strips.shape[0] * n_d, jnp.float32)
+        iou_m = lax.psum(jnp.sum(inter / jnp.maximum(union, 1.0)),
+                         data_axis) / b_global
+        pe_m = lax.psum(jnp.sum(pe / npx), data_axis) / b_global
+        return loss_sum / count, (iou_m, pe_m)
+
+    def loss_fn(params, images, labels):
+        f = shard_map(
+            shard_loss,
+            mesh=mesh,
+            in_specs=(P(), P(data_axis, spatial_axis, None),
+                      P(data_axis, spatial_axis, None)),
+            out_specs=(P(), (P(), P())),
+            check_vma=False,
+        )
+        return f(params, images, labels)
+
+    def step(state, images, labels):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, labels)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda a, u: a + u, state.params, updates)
+        return TrainState(params, opt_state), loss, aux
+
+    return jax.jit(step)
+
+
 def halo_strip_inference(model, mesh: Mesh, strip_h: int, width: int,
                          axis: str = "spatial"):
     """Build a sharded whole-image forward: image [n*strip_h, width] f32
