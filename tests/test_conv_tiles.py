@@ -1,0 +1,101 @@
+"""Golden tests for the v2 fused conv tiles (ops/conv_tiles.py): Pallas
+interpret mode vs the XLA implementation of identical quantized semantics,
+and the quantization helpers' round-trip error bound."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.ops.conv_tiles import (
+    conv3x3_fused,
+    conv3x3_int8_xla,
+    quantize_activations,
+    quantize_weights,
+)
+
+
+@pytest.mark.parametrize("h,w,cin,cout,br,ct", [
+    (18, 20, 8, 16, 8, 16),    # rows divide evenly
+    (21, 19, 8, 16, 8, 8),     # row padding + cout tiling
+    (12, 12, 16, 8, 4, 8),
+])
+def test_int8_kernel_matches_xla_oracle(h, w, cin, cout, br, ct):
+    rng = np.random.RandomState(0)
+    x = rng.randint(-127, 128, (2, h, w, cin)).astype(np.int8)
+    wq = rng.randint(-127, 128, (3, 3, cin, cout)).astype(np.int8)
+    alpha = rng.rand(cout).astype(np.float32) * 1e-3
+    beta = rng.randn(cout).astype(np.float32) * 0.1
+
+    got8 = conv3x3_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(alpha),
+                         jnp.asarray(beta), out_kind="int8", block_rows=br,
+                         cout_tile=ct, interpret=True)
+    exp8 = conv3x3_int8_xla(jnp.asarray(x), jnp.asarray(wq),
+                            jnp.asarray(alpha), jnp.asarray(beta),
+                            out_kind="int8")
+    assert got8.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(exp8))
+
+    got16 = conv3x3_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(alpha),
+                          jnp.asarray(beta), out_kind="bf16", block_rows=br,
+                          cout_tile=ct, interpret=True)
+    exp16 = conv3x3_int8_xla(jnp.asarray(x), jnp.asarray(wq),
+                             jnp.asarray(alpha), jnp.asarray(beta),
+                             out_kind="bf16")
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(exp16, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_bf16_kernel_matches_f32_conv():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 20, 22, 8).astype(np.float32)
+    w = rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1
+    b = rng.randn(16).astype(np.float32) * 0.1
+    got = conv3x3_fused(jnp.asarray(x, jnp.bfloat16),
+                        jnp.asarray(w, jnp.bfloat16),
+                        jnp.ones(16), jnp.asarray(b),
+                        block_rows=6, interpret=True)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    exp = np.maximum(np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=dn)) + b, 0.0)
+    np.testing.assert_allclose(np.asarray(got, np.float32), exp,
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_quantized_conv_approximates_f32():
+    # End-to-end quantization error on realistic magnitudes: quantize
+    # activations+weights, run the fused int8 conv with bf16 output, compare
+    # against the f32 conv — error bounded by the quantization step.
+    rng = np.random.RandomState(2)
+    x = np.abs(rng.randn(1, 16, 16, 8)).astype(np.float32)
+    w = (rng.randn(3, 3, 8, 8) * 0.2).astype(np.float32)
+    b = (rng.randn(8) * 0.05).astype(np.float32)
+
+    s_x = float(np.abs(x).max() / 127.0)
+    xq = quantize_activations(jnp.asarray(x), s_x)
+    wq, s_w = quantize_weights(jnp.asarray(w))
+    alpha = s_x * s_w
+    got = np.asarray(conv3x3_fused(xq, wq, alpha, jnp.asarray(b),
+                                   out_kind="bf16", block_rows=7,
+                                   interpret=True), np.float32)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    exp = np.maximum(np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=dn)) + b, 0.0)
+    err = np.abs(got - exp).max() / max(exp.max(), 1e-6)
+    assert err < 0.05, f"relative int8 error {err:.4f}"
+
+
+def test_quantize_weights_roundtrip():
+    rng = np.random.RandomState(3)
+    w = rng.randn(3, 3, 4, 4).astype(np.float32)
+    wq, s = quantize_weights(jnp.asarray(w))
+    back = np.asarray(wq, np.float32) * np.asarray(s)
+    assert np.abs(back - w).max() <= np.asarray(s).max() * 0.5 + 1e-7

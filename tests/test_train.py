@@ -94,6 +94,24 @@ def test_set_learning_rate():
     np.testing.assert_allclose(np.asarray(updates), -0.05, rtol=1e-6)
 
 
+def test_set_learning_rate_does_not_retrace():
+    # the LR swap must preserve the hyperparameter leaf's abstract value, or
+    # the first plateau drop silently recompiles the train step
+    tx = make_optimizer(OptimConfig(lr=0.5))
+    params = jnp.zeros(3)
+    state = tx.init(params)
+
+    @jax.jit
+    def apply(state, g, params):
+        return tx.update(g, state, params)
+
+    apply(state, jnp.ones(3), params)
+    n0 = apply._cache_size()
+    state2 = set_learning_rate(state, 0.05)
+    apply(state2, jnp.ones(3), params)
+    assert apply._cache_size() == n0, "set_learning_rate retraced the step"
+
+
 # ------------------------------------------------------- end-to-end fit
 
 
@@ -143,3 +161,29 @@ def test_fit_resume(tmp_path):
     t2 = Trainer(ds, **kwargs)
     hist = t2.fit(data, data, epochs=3, resume=True)
     assert len(hist["loss"]) == 2  # epochs 2..3 in the new writer
+
+
+def test_fit_stops_on_goal(tmp_path):
+    # Goal-triggered early stopping (intended when_to_stop semantics,
+    # reference trainer.py:18-28, 185-214): an immediately-satisfiable goal
+    # (IoU > -1) stops training goal_patience epochs after epoch 0 and writes
+    # the goal checkpoint exactly once.
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20, seed=2)
+    ds = DatasetConfig(name="synthgoal", crop=20, metric="iou",
+                       weight_mode="class_balance", goal=-1.0,
+                       goal_direction="max")
+    trainer = Trainer(
+        ds,
+        model_cfg=ModelConfig(base_width=2),
+        train_cfg=TrainConfig(batch_size=2, epochs=10, checkpoint_every=100,
+                              stop_on_goal=True, goal_patience=2),
+        aug_cfg=AugmentConfig(crop=20),
+        loss_cfg=LossConfig(weight_mode="class_balance"),
+        out_dir=str(tmp_path / "run"),
+        verbose=False,
+    )
+    history = trainer.fit(data, data, epochs=10)
+    # epochs 0, 1, 2 ran (goal hit at 0, patience 2), then stop
+    assert len(history["loss"]) == 3, history["loss"]
+    goal_dir = tmp_path / "run" / "models" / "goal_synthgoal"
+    assert os.path.isdir(goal_dir)

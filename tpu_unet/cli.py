@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width-mult", type=int, default=1)
     p.add_argument("--base-width", type=int, default=64)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    p.add_argument("--skip-variant", default="paper", choices=["paper", "parity"])
+    # default None so the .pth testing path can tell "user chose paper"
+    # apart from "unset" (reference checkpoints need parity geometry).
+    p.add_argument("--skip-variant", default=None, choices=["paper", "parity"])
     p.add_argument("--init", default="paper", choices=["paper", "parity"])
     p.add_argument("--tile-out", type=int, default=None,
                    help="overlap-tile output size for TESTING (default: whole image)")
@@ -115,7 +117,7 @@ def main(argv: Optional[list] = None) -> int:
 
     model_cfg = ModelConfig(
         base_width=args.base_width, width_mult=args.width_mult,
-        skip_variant=args.skip_variant, init_scheme=args.init,
+        skip_variant=args.skip_variant or "paper", init_scheme=args.init,
         compute_dtype=args.dtype,
     )
     train_kwargs = {}
@@ -174,7 +176,7 @@ def main(argv: Optional[list] = None) -> int:
     if args.network.endswith(".pth"):
         # Reference torch checkpoint: convert on the fly (convert.py). The
         # reference trained with the as-implemented skip geometry, so parity
-        # mode is forced unless the user overrode it explicitly.
+        # is the default here; an explicit --skip-variant wins.
         import jax.numpy as jnp
 
         from tpu_unet.convert import load_torch_checkpoint
@@ -182,8 +184,10 @@ def main(argv: Optional[list] = None) -> int:
         from tpu_unet.models import UNet as _UNet
 
         params = jax.tree.map(jnp.asarray, load_torch_checkpoint(args.network))
-        model = _UNet(ModelConfig(skip_variant="parity",
-                                  compute_dtype=args.dtype))
+        model = _UNet(ModelConfig(
+            skip_variant=args.skip_variant or "parity",
+            width_mult=args.width_mult, base_width=args.base_width,
+            compute_dtype=args.dtype))
         output_dir = args.network[:-4] + "_test"
         _evaluate(model, params, test_data, output_dir=output_dir,
                   tile_out=args.tile_out, verbose=not args.quiet)

@@ -119,6 +119,13 @@ class TrainConfig:
     # save's 248 MB device->host fetch stalls the compute stream ~25 s, so
     # improvement streaks at ~1 s/epoch train faster with e.g. 10.
     best_save_min_interval: int = 1
+    # Goal-triggered early stopping — the reference's *intended* when_to_stop
+    # semantics (``trainer.py:18-28, 185-214``; dead code there via the
+    # ``is``-comparison bug, SURVEY.md §2.9): when the paper-goal metric is
+    # crossed, save the goal checkpoint and stop after `goal_patience` more
+    # epochs. Off by default (reference shipped behavior: save, keep going).
+    stop_on_goal: bool = False
+    goal_patience: int = 0
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
 
 

@@ -1,0 +1,284 @@
+"""Int8 quantized U-Net inference (serving path toward the 1000-tiles/s
+BASELINE target).
+
+The reference has no quantization (eager f32 torch, ``network.py``); this is
+TPU-native capability the bf16 ceiling demands: the v5e MXU runs int8 at 2x
+the bf16 rate, and round-1 measured the model's bf16 ceiling at ~500 tiles/s
+(results/README.md). Design:
+
+* post-training quantization, symmetric: per-tensor activation scales
+  (calibrated: abs-max over sample tiles / 127) + per-output-channel weight
+  scales;
+* the 3x3 convs with cin/cout >= `min_channels` (default 128 — 76% of the
+  model's FLOPs at serving tile sizes) run as fused Pallas int8 MXU tiles
+  (ops/conv_tiles.py): int8 x int8 -> int32, scale+bias+ReLU+requantize in
+  the kernel, int8 activations in HBM (4x less activation traffic than f32);
+* max-pool operates on int8 directly (order-preserving); upconvs, the
+  low-channel convs, and the 1x1 head stay bf16; decoder concats happen in
+  bf16 and are re-quantized once per decoder level.
+
+Numerics contract is validated in tests/test_quant.py: logits close to bf16,
+prediction IoU drop < 0.5% on the synthetic eval set (VERDICT r1 item 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, FrozenSet, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.config import ModelConfig
+from tpu_unet.models import center_crop_or_pad
+from tpu_unet.ops.conv_tiles import (
+    conv3x3_fused,
+    conv3x3_int8_xla,
+    quantize_activations,
+    quantize_weights,
+)
+
+
+def _conv_names(cfg: ModelConfig) -> Tuple[str, ...]:
+    names = []
+    for d in range(cfg.depth):
+        names += [f"enc{d}_conv1", f"enc{d}_conv2"]
+    names += ["bottleneck_conv1", "bottleneck_conv2"]
+    for d in reversed(range(cfg.depth)):
+        names += [f"dec{d}_conv1", f"dec{d}_conv2"]
+    return tuple(names)
+
+
+def default_quant_names(cfg: ModelConfig, min_channels: int = 128) -> FrozenSet[str]:
+    """3x3 convs whose cin AND cout reach `min_channels` — the int8-profitable
+    set (round-1 measured XLA int8 at 0.9x below 128 channels)."""
+    w = cfg.widths
+    out = set()
+    for d in range(cfg.depth):
+        cin1 = cfg.in_channels if d == 0 else w[d - 1]
+        if cin1 >= min_channels and w[d] >= min_channels:
+            out.add(f"enc{d}_conv1")
+        if w[d] >= min_channels:
+            out.add(f"enc{d}_conv2")
+    if w[cfg.depth - 1] >= min_channels and w[cfg.depth] >= min_channels:
+        out.add("bottleneck_conv1")
+    if w[cfg.depth] >= min_channels:
+        out.add("bottleneck_conv2")
+    for d in range(cfg.depth):
+        if 2 * w[d] >= min_channels and w[d] >= min_channels:
+            out.add(f"dec{d}_conv1")
+        if w[d] >= min_channels:
+            out.add(f"dec{d}_conv2")
+    return frozenset(out)
+
+
+def calibrate(model, params, sample_batch: jax.Array) -> Dict[str, float]:
+    """Run the float model on representative tiles, record per-tensor abs-max
+    activation scales. Returns {name: scale} for every conv output (post-ReLU
+    max / 127), every upconv output, and the input tensor.
+
+    `sample_batch` [B, H, W, 1] should be normalized like serving inputs.
+    """
+    _, state = model.apply(params, sample_batch,
+                           capture_intermediates=True,
+                           mutable=["intermediates"])
+    inter = state["intermediates"]
+    scales: Dict[str, float] = {
+        "input": float(jnp.max(jnp.abs(sample_batch))) / 127.0,
+    }
+    for name, sub in inter.items():
+        if name == "__call__":
+            continue
+        out = sub["__call__"][0]
+        if name.startswith(("enc", "dec", "bottleneck")):
+            # conv outputs are pre-ReLU; the consumed tensor is post-ReLU
+            m = float(jnp.maximum(jnp.max(out), 0.0))
+        else:  # up{d} (signed) and head (unused)
+            m = float(jnp.max(jnp.abs(out)))
+        scales[name] = max(m, 1e-6) / 127.0
+    return scales
+
+
+@dataclasses.dataclass
+class QuantParams:
+    """Preprocessed serving parameters: int8 kernels + fused scale vectors for
+    quantized convs, bf16 tensors for the float remainder."""
+
+    cfg: ModelConfig
+    qnames: FrozenSet[str]
+    scales: Dict[str, float]
+    qconv: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]  # name -> (w_q, s_w, bias)
+    fconv: Dict[str, Tuple[jax.Array, jax.Array]]             # name -> (kernel bf16, bias)
+
+
+def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
+                         qnames: Optional[FrozenSet[str]] = None) -> QuantParams:
+    if qnames is None:
+        qnames = default_quant_names(cfg)
+    p = params["params"]
+    qconv, fconv = {}, {}
+    for name in _conv_names(cfg):
+        kernel = p[name]["kernel"].astype(jnp.float32)
+        bias = p[name]["bias"].astype(jnp.float32)
+        if name in qnames:
+            w_q, s_w = quantize_weights(kernel)
+            qconv[name] = (w_q, s_w, bias)
+        else:
+            fconv[name] = (kernel.astype(jnp.bfloat16), bias)
+    for d in range(cfg.depth):
+        fconv[f"up{d}"] = (p[f"up{d}"]["kernel"].astype(jnp.bfloat16),
+                           p[f"up{d}"]["bias"].astype(jnp.float32))
+    fconv["head"] = (p["head"]["kernel"].astype(jnp.bfloat16),
+                     p["head"]["bias"].astype(jnp.float32))
+    return QuantParams(cfg=cfg, qnames=qnames, scales=dict(scales),
+                       qconv=qconv, fconv=fconv)
+
+
+class QuantInference:
+    """Mixed int8/bf16 forward with the exact UNet geometry (both skip
+    variants). `impl`: 'pallas' (fused MXU tiles) or 'xla' (int8 XLA convs —
+    the measured-slower fallback/oracle)."""
+
+    def __init__(self, qp: QuantParams, impl: str = "pallas",
+                 block_rows: int = 16, interpret: Optional[bool] = None):
+        if impl not in ("pallas", "xla"):
+            raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
+        self.qp = qp
+        self.impl = impl
+        self.block_rows = block_rows
+        self.interpret = interpret
+
+    # -- primitives ---------------------------------------------------------
+
+    def _interp(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        return jax.default_backend() == "cpu"
+
+    def _deq(self, v: jax.Array, s: Optional[float]) -> jax.Array:
+        if s is None:
+            return v
+        return v.astype(jnp.bfloat16) * jnp.bfloat16(s)
+
+    def _conv_f(self, name: str, v: jax.Array) -> jax.Array:
+        k, b = self.qp.fconv[name]
+        dn = jax.lax.conv_dimension_numbers(v.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            v.astype(jnp.bfloat16), k, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
+
+    def _conv(self, name: str, v, s_in):
+        """One 3x3 conv + ReLU. (v, s_in) -> (v, s_out); s None = float."""
+        qp = self.qp
+        if name not in qp.qnames:
+            return self._conv_f(name, self._deq(v, s_in)), None
+        if s_in is None:
+            s_in = qp.scales[self._input_scale_key(name)]
+            v = quantize_activations(v, s_in)
+        w_q, s_w, bias = qp.qconv[name]
+        s_out = qp.scales[name]
+        alpha = (s_in * s_w / s_out).astype(jnp.float32)
+        beta = (bias / s_out).astype(jnp.float32)
+        if self.impl == "xla":
+            return conv3x3_int8_xla(v, w_q, alpha, beta, out_kind="int8"), s_out
+        y = conv3x3_fused(v, w_q, alpha, beta, out_kind="int8",
+                          block_rows=self.block_rows,
+                          interpret=self._interp())
+        return y, s_out
+
+    def _input_scale_key(self, name: str) -> str:
+        """Calibration key for a quantized conv's float input tensor (= the
+        producing tensor: pooling preserves scale)."""
+        if name == "enc0_conv1":
+            return "input"
+        if name.startswith("dec") and name.endswith("_conv1"):
+            return name + ":cat"
+        if name.endswith("_conv2"):
+            return name[:-1] + "1"
+        if name == "bottleneck_conv1":
+            return f"enc{self.qp.cfg.depth - 1}_conv2"
+        d = int(name[3])           # enc{d}_conv1, d > 0
+        return f"enc{d - 1}_conv2"
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """x [B, H, W, 1] f32 (normalized) -> f32 logits, UNet geometry."""
+        cfg = self.qp.cfg
+        qp = self.qp
+        v, s = x.astype(jnp.bfloat16), None
+        skips = []
+        for d in range(cfg.depth):
+            v, s = self._conv(f"enc{d}_conv1", v, s)
+            v, s = self._conv(f"enc{d}_conv2", v, s)
+            if cfg.skip_variant == "paper":
+                skips.append((v, s))
+            # max-pool is order-preserving: valid on int8 at the same scale
+            v = jax.lax.reduce_window(
+                v, _min_value(v.dtype), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            if cfg.skip_variant == "parity":
+                skips.append((v, s))
+        v, s = self._conv("bottleneck_conv1", v, s)
+        v, s = self._conv("bottleneck_conv2", v, s)
+
+        for d in reversed(range(cfg.depth)):
+            k, b = qp.fconv[f"up{d}"]
+            u = jax.lax.conv_transpose(
+                self._deq(v, s), k, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            u = (u + b).astype(jnp.bfloat16)
+            sk, sk_s = skips[d]
+            sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
+            cat = jnp.concatenate([sk, u], axis=-1)
+            name = f"dec{d}_conv1"
+            if name in qp.qnames:
+                s_cat = qp.scales[name + ":cat"]
+                v, s = self._conv(name, quantize_activations(cat, s_cat), s_cat)
+            else:
+                v, s = self._conv(name, cat, None)
+            v, s = self._conv(f"dec{d}_conv2", v, s)
+
+        v = self._deq(v, s)
+        k, b = qp.fconv["head"]
+        y = jax.lax.conv_general_dilated(
+            v, k, (1, 1), "VALID",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                v.shape, k.shape, ("NHWC", "HWIO", "NHWC")),
+            preferred_element_type=jnp.float32)
+        return y + b
+
+
+def _min_value(dtype):
+    if dtype == jnp.int8:
+        return jnp.int8(-128)
+    return jnp.asarray(-jnp.inf, dtype)
+
+
+def add_concat_scales(cfg: ModelConfig, scales: Dict[str, float]) -> Dict[str, float]:
+    """Derive each decoder concat tensor's scale from its two sources:
+    max(skip post-ReLU scale, |upconv| scale). Skip source: enc{d}_conv2."""
+    out = dict(scales)
+    for d in range(cfg.depth):
+        if f"enc{d}_conv2" in scales and f"up{d}" in scales:
+            out[f"dec{d}_conv1:cat"] = max(scales[f"enc{d}_conv2"],
+                                           scales[f"up{d}"])
+    return out
+
+
+def build_quant_inference(model, params, sample_batch,
+                          min_channels: int = 128, impl: str = "pallas",
+                          block_rows: int = 16,
+                          interpret: Optional[bool] = None) -> QuantInference:
+    """Calibrate + quantize + build in one step."""
+    cfg = model.cfg
+    scales = add_concat_scales(cfg, calibrate(model, params, sample_batch))
+    qnames = default_quant_names(cfg, min_channels)
+    qp = prepare_quant_params(cfg, params, scales, qnames)
+    return QuantInference(qp, impl=impl, block_rows=block_rows,
+                          interpret=interpret)

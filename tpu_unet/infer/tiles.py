@@ -65,7 +65,8 @@ class TileInference:
         """image [H, W] f32 -> logits [H, W, C]."""
         p = self.plan
         if self.normalize:
-            image = (image - jnp.min(image)) / jnp.ptp(image)
+            # guard: a constant image has ptp 0 -> NaN logits otherwise
+            image = (image - jnp.min(image)) / jnp.maximum(jnp.ptp(image), 1e-12)
         padded = reflect_pad(
             image,
             ((p.pad, p.pad + p.canvas_h - p.image_h),

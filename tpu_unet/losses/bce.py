@@ -35,12 +35,15 @@ def weighted_bce_with_logits(
     labels: jax.Array,
     weights: jax.Array,
     broadcast: str = "intended",
+    reduction: str = "mean",
 ) -> jax.Array:
     """Mean of w * BCE(logits, one_hot(labels)) over all elements.
 
     logits:  [B, h, w, C] f32 (C = 2)
     labels:  [B, h, w] int in {0, 1}
     weights: [B, h, w] f32 per-pixel weight map
+    reduction: 'mean' -> scalar; 'per_sample' -> [B] per-sample means (the
+    overall mean equals the mean of these — equal pixel counts per sample).
     """
     targets = one_hot_targets(labels)
     # Numerically stable elementwise BCE-with-logits:
@@ -64,4 +67,8 @@ def weighted_bce_with_logits(
     else:
         raise ValueError(f"unknown broadcast mode: {broadcast}")
 
+    if reduction == "per_sample":
+        return jnp.mean(jnp.broadcast_to(w, bce.shape) * bce, axis=(1, 2, 3))
+    if reduction != "mean":
+        raise ValueError(f"unknown reduction: {reduction}")
     return jnp.mean(w * bce)

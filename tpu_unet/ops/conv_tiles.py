@@ -1,0 +1,170 @@
+"""Fused 3x3 valid conv + bias + ReLU (+ requantize) Pallas MXU tiles, v2.
+
+Round-2 redesign of ops/conv_pallas.py aimed at the 1000-tiles/s BASELINE
+target (the reference's conv workload is ``network.py:129-192``; no native
+counterpart exists there — SURVEY.md §2.13). Differences from v1:
+
+* one kernel body parameterized over dtype: bf16 x bf16 -> f32 accumulate, or
+  **int8 x int8 -> int32 accumulate** (the v5e MXU's 2x-rate int8 path — the
+  only identified route past the ~500 tiles/s bf16 ceiling, STATUS.md r1);
+* grid ordered (cout_tile, batch, row_tile) so the weight block stays VMEM-
+  resident across the whole image instead of being re-fetched every step;
+* ``lax.dot_general`` on the 3-D [rows, wo, cin] view (no flattening copy);
+* fused output transform in-kernel: int32/f32 acc -> f32 * alpha[c] + beta[c]
+  -> ReLU -> either bf16 store or round-clamp-int8 store (requantization for
+  the next quantized layer, one HBM write per element, no intermediate f32
+  tensor ever materialized).
+
+Quantization contract (symmetric, per-output-channel weights):
+  x_q = round(x / s_x),  w_q[..., c] = round(w[..., c] / s_w[c])
+  conv_f32 ~= acc_i32 * (s_x * s_w[c])
+  bf16 out : alpha = s_x * s_w,        beta = bias        -> relu(acc*a+b)
+  int8 out : alpha = s_x * s_w / s_y,  beta = bias / s_y  -> clamp(round(...),
+             0, 127) (post-ReLU activations are non-negative).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(slab_ref, w_ref, a_ref, b_ref, o_ref, *, block_rows, wo,
+            acc_dtype, out_kind):
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :]
+            d = lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )                                    # [rows, wo, ct]
+            acc = d if acc is None else acc + d
+    y = acc.astype(jnp.float32) * a_ref[0][None, None, :] + b_ref[0][None, None, :]
+    y = jnp.maximum(y, 0.0)
+    if out_kind == "int8":
+        y = jnp.clip(jnp.round(y), 0.0, 127.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def conv3x3_fused(
+    x: jax.Array,
+    w: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    out_kind: str = "auto",
+    block_rows: int = 16,
+    cout_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """relu(conv_valid(x, w) * alpha + beta), optionally requantized.
+
+    x [B, H, W, Cin] (int8 or bf16/f32), w [3, 3, Cin, Cout] (same kind),
+    alpha/beta [Cout] f32 (see module docstring). out_kind: 'int8' stores
+    round-clamped int8, 'bf16' stores bf16; 'auto' = int8 for int8 inputs.
+    Returns [B, H-2, W-2, Cout].
+    """
+    if out_kind == "auto":
+        out_kind = "int8" if x.dtype == jnp.int8 else "bf16"
+    acc_dtype = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
+    out_dtype = jnp.int8 if out_kind == "int8" else jnp.bfloat16
+
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    ho, wo = h - 2, wd - 2
+    if cout_tile is None:
+        cout_tile = min(cout, 256)
+    assert cout % cout_tile == 0, (cout, cout_tile)
+
+    pad_rows = (-ho) % block_rows
+    if pad_rows:
+        x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+        ho += pad_rows
+    n_r = ho // block_rows
+
+    # XLA pre-gathers overlapping (block_rows+2)-row slabs: (br+2)/br input
+    # duplication (12.5% at br=16), in exchange for plain VMEM BlockSpecs —
+    # the manual-DMA form trips this environment's remote compiler (v1 notes).
+    starts = jnp.arange(n_r) * block_rows
+    slabs = jax.vmap(
+        lambda s: lax.dynamic_slice_in_dim(x, s, block_rows + 2, axis=1),
+        out_axes=1,
+    )(starts)                                   # [B, R, br+2, W, Cin]
+
+    kernel = functools.partial(_kernel, block_rows=block_rows, wo=wo,
+                               acc_dtype=acc_dtype, out_kind=out_kind)
+    out = pl.pallas_call(
+        kernel,
+        # cout tile slowest so weight/scale blocks stay VMEM-resident across
+        # the full (batch x rows) sweep; row tile fastest for slab streaming.
+        grid=(cout // cout_tile, bsz, n_r),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_rows + 2, wd, cin),
+                         lambda c, b_, r: (b_, r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cout_tile),
+                         lambda c, b_, r: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout_tile), lambda c, b_, r: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout_tile), lambda c, b_, r: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_rows, wo, cout_tile),
+            lambda c, b_, r: (b_, r, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, cout), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * ho * wo * 9 * cin * cout,
+            bytes_accessed=(slabs.size * slabs.dtype.itemsize
+                            + w.size * w.dtype.itemsize
+                            + bsz * ho * wo * cout * out_dtype(0).itemsize),
+            transcendentals=0,
+        ),
+    )(slabs, w, alpha.reshape(1, cout).astype(jnp.float32),
+      beta.reshape(1, cout).astype(jnp.float32))
+    if pad_rows:
+        out = out[:, :ho - pad_rows]
+    return out
+
+
+# --- quantization helpers ---------------------------------------------------
+
+def quantize_activations(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """f32/bf16 [..., C] -> int8 with the given (scalar) symmetric scale."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def quantize_weights(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[3, 3, Cin, Cout] f32 -> (int8 weights, per-output-channel scales)."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def conv3x3_int8_xla(x_q, w_q, alpha, beta, out_kind="bf16"):
+    """XLA reference path with identical semantics (golden oracle for the
+    Pallas kernel; also the measured-and-rejected ~1.3x XLA int8 route)."""
+    dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(
+        x_q, w_q, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = jnp.maximum(acc.astype(jnp.float32) * alpha + beta, 0.0)
+    if out_kind == "int8":
+        return jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
+    return y.astype(jnp.bfloat16)

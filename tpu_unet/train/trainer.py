@@ -94,7 +94,9 @@ def make_eval_step(model: UNet, weight_fn, broadcast: str):
         logits = model.apply(params, inp)
         logits = center_crop_or_pad(logits, gt.shape[1:3])
         weights = weight_fn(gt)
-        loss = weighted_bce_with_logits(logits, gt, weights, broadcast)
+        # per-sample losses so padded tail batches can be trimmed exactly
+        loss = weighted_bce_with_logits(logits, gt, weights, broadcast,
+                                        reduction="per_sample")
         preds = jnp.argmax(logits, axis=-1)
         return loss, batch_evaluation_metrics(preds, gt)
 
@@ -113,7 +115,7 @@ def prepare_eval_arrays(data: SegmentationData) -> Tuple[np.ndarray, np.ndarray]
         _, input_size, _ = input_size_compute(img.shape[-1])
         pad = (input_size - img.shape[-1]) // 2
         padded = np.asarray(reflect_pad(jnp.asarray(img), pad))
-        padded = (padded - padded.min()) / np.ptp(padded)
+        padded = (padded - padded.min()) / max(np.ptp(padded), 1e-12)
         inputs.append(padded.astype(np.float32))
         labels.append((tgt > 127).astype(np.int32))
     return np.stack(inputs)[..., None], np.stack(labels)
@@ -227,6 +229,7 @@ class Trainer:
         plateau = plateau_init(cfg.optim)
         best_val_loss = float("inf")
         goal_saved = False
+        goal_epoch: Optional[int] = None
         epoch0 = 0
         last_best_save = -(10 ** 9)
 
@@ -236,6 +239,7 @@ class Trainer:
             plateau = PlateauState(**host["plateau"])
             best_val_loss = host["best_val_loss"]
             goal_saved = host.get("goal_saved", False)
+            goal_epoch = host.get("goal_epoch")
             epoch0 = host["epoch"] + 1
             self._log(f"Resumed from epoch {host['epoch']}")
 
@@ -284,6 +288,7 @@ class Trainer:
                 "plateau": plateau._asdict(),
                 "best_val_loss": best_val_loss,
                 "goal_saved": goal_saved,
+                "goal_epoch": goal_epoch,
                 # self-describing checkpoints: TESTING rebuilds the exact model
                 "model_cfg": dataclasses.asdict(self.model_cfg),
             }
@@ -301,10 +306,19 @@ class Trainer:
                    else goal_metric < self.dataset_cfg.goal)
             if hit and not goal_saved:
                 goal_saved = True
+                goal_epoch = epoch
                 host["goal_saved"] = True
+                host["goal_epoch"] = goal_epoch
                 ckpt.save_async(f"goal_{self.dataset_cfg.name}", state, host)
                 self._log(f"Epoch {epoch}: paper goal reached "
                           f"({goal_metric:.4f} vs {self.dataset_cfg.goal})")
+
+            # Goal-triggered early stop (intended when_to_stop semantics).
+            if (cfg.stop_on_goal and goal_epoch is not None
+                    and epoch - goal_epoch >= cfg.goal_patience):
+                self._log(f"Goal reached at epoch {goal_epoch}; stopping "
+                          f"after goal_patience={cfg.goal_patience}")
+                stop = True
 
             if epoch % cfg.checkpoint_every == 0:
                 ckpt.save_async("latest", state, host)
@@ -357,16 +371,21 @@ class Trainer:
         i = 0
         while i < n:
             j = min(i + batch_size, n)
-            # keep batch shape static: pad the tail by repetition, mask after
+            # keep batch shape static: pad the tail by repetition, trim the
+            # duplicated samples from both metrics AND per-sample losses (an
+            # equal-weight mean of batch losses would bias the plateau
+            # scheduler whenever n % batch_size != 0)
             take = jnp.arange(i, i + batch_size) % n if j - i < batch_size else None
             if take is None:
                 li, mi = self.eval_step(params, val_inp[i:j], val_gt[i:j])
                 metrics.append(np.asarray(mi))
+                losses.append(np.asarray(li))
             else:
                 li, mi = self.eval_step(params, val_inp[take], val_gt[take])
                 metrics.append(np.asarray(mi)[: n - i])
-            losses.append(float(li))
+                losses.append(np.asarray(li)[: n - i])
             i = j
         m = np.concatenate(metrics, 0)
-        return EpochStats(float(np.mean(losses)), float(np.nanmean(m[:, 0])),
+        return EpochStats(float(np.mean(np.concatenate(losses))),
+                          float(np.nanmean(m[:, 0])),
                           float(np.mean(m[:, 1])))
