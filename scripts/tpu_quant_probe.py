@@ -41,13 +41,20 @@ def measure_roundtrip():
 
 
 def timeit(fn, *args, n=6):
-    """Median per-call seconds, net of roundtrip. fn must return an array."""
-    out = fn(*args)
-    float(jnp.sum(out.astype(jnp.float32).ravel()[:4]))
+    """Median per-call seconds, net of roundtrip. fn must return an array.
+
+    The readback reduction lives INSIDE the jit: a host-side
+    astype/ravel/sum chain would add output-size-proportional copies to every
+    timed call (this bug skewed the first probe1.log run's absolute numbers;
+    same-shape relative comparisons were unaffected). A FULL sum — a sliced
+    one would let XLA narrow the conv itself to the sliced channels/rows.
+    Overhead = one read of the output (~2 ms for the largest layers)."""
+    g = jax.jit(lambda *a: jnp.sum(fn(*a)).astype(jnp.float32))
+    float(g(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        float(jnp.sum(fn(*args).astype(jnp.float32).ravel()[:4]))
+        float(g(*args))
         times.append(time.perf_counter() - t0 - ROUNDTRIP)
     return float(np.median(times))
 

@@ -117,13 +117,15 @@ def main():
 
     prev = 0.0
     for n_stages in range(1, len(stages) + 1):
-        f = jax.jit(lambda x, n=n_stages: forward_upto(x, n))
-        out = f(x)
-        float(jnp.sum(out.astype(jnp.float32).ravel()[:4]))
+        # full in-jit sum: sliced readbacks would let XLA narrow the last
+        # stage; host-side casts would add output-sized copies to the timing
+        f = jax.jit(lambda x, n=n_stages:
+                    jnp.sum(forward_upto(x, n)).astype(jnp.float32))
+        float(f(x))
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(jnp.sum(f(x).astype(jnp.float32).ravel()[:4]))
+            float(f(x))
             times.append(time.perf_counter() - t0 - roundtrip)
         dt = float(np.median(times))
         log(f"  upto {n_stages:2d} ({stages[n_stages-1]:17s}): "

@@ -1,0 +1,106 @@
+"""Offline tests for the data-acquisition layer (data/download.py, reference
+``data.py:316-395``): point the URL templates at local ``file://`` fixtures
+(urllib handles the scheme) and assert the produced trees feed the ingest
+loaders. The container has zero egress, so this is the only way this logic
+gets exercised (VERDICT r1 item 8)."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu_unet.data import download
+from tpu_unet.data.download import download_ctc, download_isbi
+from tpu_unet.data.ingest import (
+    load_ctc_test,
+    load_ctc_training,
+    load_isbi_training,
+)
+
+
+def _blob_labels(h=64, w=64):
+    """Instance mask with two separated blobs (ids 1, 2)."""
+    lab = np.zeros((h, w), np.uint16)
+    lab[8:20, 8:20] = 1
+    lab[36:52, 30:50] = 2
+    return lab
+
+
+def _image(h=64, w=64, seed=0):
+    return (np.random.RandomState(seed).rand(h, w) * 255).astype(np.uint8)
+
+
+def test_download_ctc_extracts_reference_layout(tmp_path, monkeypatch):
+    name = "DIC-C2DH-HeLa"
+    # Build the fixture zip the way CTC packs it: {name}/01/t00{i}.tif images,
+    # silver truth in 01_ST/SEG, gold truth (frame 0 only) in 01_GT/SEG.
+    src = tmp_path / "fixture" / name
+    for sub in ("01", "01_ST/SEG", "01_GT/SEG"):
+        (src / sub).mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(_image(seed=i)).save(src / "01" / f"t00{i}.tif")
+        Image.fromarray(_blob_labels()).save(
+            src / "01_ST" / "SEG" / f"man_seg00{i}.tif")
+    Image.fromarray(_blob_labels()).save(
+        src / "01_GT" / "SEG" / "man_seg000.tif")
+
+    zpath = tmp_path / "fixture" / f"{name}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(src):
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, tmp_path / "fixture"))
+
+    monkeypatch.setattr(
+        download, "CTC_URL",
+        "file://" + str(tmp_path / "fixture") + "/{name}.zip")
+
+    folder = download_ctc(str(tmp_path / "data"), name)
+    assert folder == str(tmp_path / "data" / f"{name}-training")
+    assert os.path.isfile(os.path.join(folder, "01", "t001.tif"))
+
+    # ST training excludes the gold-truth frame (data.py:51-56 semantics)
+    train = load_ctc_training(folder, crop=20)
+    assert len(train) == 1
+    # gold-truth eval set sees exactly the GT frame
+    test = load_ctc_test(folder)
+    assert len(test) == 1
+    assert test.images[0].shape == (64, 64)
+
+    # idempotent: second call is a no-op returning the existing tree
+    assert download_ctc(str(tmp_path / "data"), name) == folder
+
+
+def test_download_isbi_splits_multipage_tiff(tmp_path, monkeypatch):
+    fix = tmp_path / "fixture"
+    fix.mkdir()
+    vols = [Image.fromarray(_image(seed=i)) for i in range(3)]
+    vols[0].save(fix / "train-volume.tif", save_all=True,
+                 append_images=vols[1:])
+    lab = Image.fromarray((_blob_labels() > 0).astype(np.uint8) * 255)
+    lab.save(fix / "train-labels.tif", save_all=True,
+             append_images=[lab, lab])
+
+    monkeypatch.setattr(
+        download, "ISBI_URL", "file://" + str(fix) + "/{t}-{folder}.tif")
+
+    folder = download_isbi(str(tmp_path / "data"))
+    for i in range(3):
+        assert os.path.isfile(os.path.join(folder, "01", f"t{i:03d}.tif"))
+        seg = os.path.join(folder, "01_GT", "SEG", f"man_seg{i:03d}.tif")
+        assert os.path.isfile(seg)
+        inst = np.asarray(Image.open(seg))
+        # connected components -> compact instance ids 1..K, background 0
+        assert set(np.unique(inst)) == {0, 1, 2}
+
+    data = load_isbi_training(folder, crop=20)
+    assert len(data) == 3
+    assert data.targets[0].shape == (64, 64)
+
+
+def test_download_error_raised_offline(tmp_path):
+    with pytest.raises(download.DownloadError):
+        download._fetch("http://localhost:1/nope.zip",
+                        str(tmp_path / "x.zip"), timeout=2.0)
