@@ -9,8 +9,11 @@ Usage: python scripts/tpu_quant_probe.py [section ...]
   sections: levels int8xla pallas upconv e2e argmax  (default: all)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,11 @@ attribute wall time the way the real forward spends it.
 Usage: python scripts/tpu_stack_profile.py [batch] [tile_in]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -259,3 +259,66 @@ def test_elastic_field_statistics():
     dx, _ = elastic_fields(key, (128, 128), alpha=200.0, sigma=10.0)
     mag = float(jnp.std(dx))
     assert 1.0 < mag < 40.0  # smoothing shrinks variance far below alpha
+
+
+def test_cubic_map_coordinates_matches_scipy_order3():
+    # interior-coordinate parity with scipy order-3 (the 'constant'-mode
+    # prefilter in scipy is mirror-boundary, same as ours; border semantics
+    # differ only within 1 knot of the edge, which the augmentation never
+    # samples — it reflect-pads generously first, data.py:109-112)
+    from scipy.ndimage import map_coordinates as scipy_mc
+
+    from tpu_unet.ops.warp import map_coordinates_cubic
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 37).astype(np.float32) * 255
+    ci = rng.uniform(2.0, 37.0, (25, 25)).astype(np.float32)
+    cj = rng.uniform(2.0, 34.0, (25, 25)).astype(np.float32)
+
+    got = np.asarray(map_coordinates_cubic(jnp.asarray(img),
+                                           (jnp.asarray(ci), jnp.asarray(cj))))
+    exp = scipy_mc(img, [ci, cj], order=3, mode="constant")
+    np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-3)
+
+
+def test_cubic_rotate_matches_scipy_rotate():
+    # full rotate path vs the reference chain: generous reflect pad ->
+    # scipy.ndimage.rotate(order=3, reshape=True) -> center crop
+    # (data.py:109-124); compare the central window
+    from scipy.ndimage import rotate as scipy_rotate
+
+    from tpu_unet.ops.warp import rotate_about_center
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(60, 60).astype(np.float32)
+    out_size, angle = 40, 30.0
+
+    got = np.asarray(rotate_about_center(jnp.asarray(img),
+                                         jnp.asarray(angle), out_size,
+                                         order=3))
+
+    padded = np.pad(img, 60, mode="reflect")
+    rot = scipy_rotate(padded, angle, reshape=True, order=3)
+    c = (np.array(rot.shape) - out_size) // 2
+    exp = rot[c[0]:c[0] + out_size, c[1]:c[1] + out_size]
+    np.testing.assert_allclose(got, exp, rtol=5e-3, atol=5e-3)
+
+
+def test_fused_cubic_augment_shapes_and_binarization():
+    # the fused single-gather path with rotate_order=3 produces the same
+    # shapes/contract as bilinear and a near-identical binarized target
+    from tpu_unet.config import AugmentConfig
+    from tpu_unet.data import synthetic_dataset
+    from tpu_unet.data.augment import AugmentPipeline
+
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=3, crop=20, seed=0)
+    for order in (1, 3):
+        pipe = AugmentPipeline(AugmentConfig(crop=20, rotate_order=order))
+        inp, gt = pipe(jnp.asarray(data.images), jnp.asarray(data.targets),
+                       jnp.asarray(data.crop_log_probs),
+                       jnp.asarray(data.crop_pairs),
+                       np.array([0, 1]), jax.random.PRNGKey(3))
+        # input_size_compute floors the bottleneck at 20 -> 380-in for crop 20
+        assert inp.shape == (2, 380, 380, 1) and gt.shape == (2, 20, 20)
+        assert set(np.unique(np.asarray(gt))) <= {0, 1}
+        assert np.isfinite(np.asarray(inp)).all()

@@ -73,6 +73,12 @@ class AugmentConfig:
     # ~2x augment speedup; interpolation of the composite instead of
     # bilinear-of-bilinear). False: two-stage warps like the reference chain.
     fused_warp: bool = True
+    # Rotation interpolation order: 1 bilinear (default), 3 cubic B-spline —
+    # the reference's scipy.rotate default (``data.py:116-117``). With
+    # fused_warp the composite single gather uses the cubic kernel; without,
+    # the rotate stage alone does (reference chain: cubic rotate, bilinear
+    # elastic). A/B convergence measurement: results/r2/rotation_ab.md.
+    rotate_order: int = 1
 
     @property
     def input_size(self) -> int:

@@ -34,10 +34,14 @@ import jax.numpy as jnp
 from tpu_unet.config import AugmentConfig
 from tpu_unet.ops.pad import fold_reflect
 from tpu_unet.ops.warp import (
+    _bspline3_weights,
+    _mirror_index,
     elastic_fields,
     elastic_warp,
     map_coordinates_bilinear,
+    map_coordinates_cubic,
     rotate_about_center,
+    spline_filter_matrix,
 )
 
 
@@ -61,11 +65,30 @@ def _bilinear_multi(src: jax.Array, si: jax.Array, sj: jax.Array) -> jax.Array:
             + v10 * fi * (1 - fj) + v11 * fi * fj)
 
 
+def _cubic_multi(coeffs: jax.Array, si: jax.Array, sj: jax.Array) -> jax.Array:
+    """Cubic B-spline sample of channel-stacked prefiltered coefficients
+    [H, W, C] at shared 2D coordinates (16 taps, mirror-folded near edges)."""
+    h, w, _ = coeffs.shape
+    i0 = jnp.floor(si).astype(jnp.int32)
+    j0 = jnp.floor(sj).astype(jnp.int32)
+    wi = _bspline3_weights(si - i0)
+    wj = _bspline3_weights(sj - j0)
+    flat = coeffs.reshape(h * w, -1)
+    out = jnp.zeros(si.shape + (coeffs.shape[-1],), jnp.float32)
+    for a in range(4):
+        row = _mirror_index(i0 + (a - 1), h) * w
+        for b in range(4):
+            taps = jnp.take(flat, row + _mirror_index(j0 + (b - 1), w), axis=0)
+            out = out + (wi[a] * wj[b])[..., None] * taps
+    return out
+
+
 def _fused_rotate_elastic_multi(src: jax.Array, angle_deg: jax.Array,
                                 dx: jax.Array, dy: jax.Array,
-                                canvas_size: int) -> jax.Array:
+                                canvas_size: int, order: int = 1) -> jax.Array:
     """`_fused_rotate_elastic` for a channel-stacked source [H, W, C] with one
-    shared gather (see `_bilinear_multi`)."""
+    shared gather (see `_bilinear_multi`); order=3 samples the composite
+    coordinate with the cubic B-spline kernel (prefiltered coefficients)."""
     h, w, _ = src.shape
     gi = jnp.arange(canvas_size, dtype=jnp.float32)[:, None]
     gj = jnp.arange(canvas_size, dtype=jnp.float32)[None, :]
@@ -81,7 +104,15 @@ def _fused_rotate_elastic_multi(src: jax.Array, angle_deg: jax.Array,
     qj = pj - co
     si = fold_reflect(cos * qi + sin * qj + ci, h)
     sj = fold_reflect(-sin * qi + cos * qj + cj, w)
-    val = _bilinear_multi(src, si, sj)
+    if order == 3:
+        fv, fh = spline_filter_matrix(h), spline_filter_matrix(w)
+        # coeffs[i,j,c] = sum_mn FV[i,m] FH[j,n] src[m,n,c]
+        coeffs = jnp.tensordot(
+            fv, jnp.tensordot(fh, src.astype(jnp.float32), axes=((1,), (1,))),
+            axes=((1,), (1,)))
+        val = _cubic_multi(coeffs, si, sj)
+    else:
+        val = _bilinear_multi(src, si, sj)
     return jnp.where(inb[..., None], val, 0.0)
 
 
@@ -134,6 +165,7 @@ def _augment_one(
     rotate_step: int,
     skip: int,
     fused_warp: bool,
+    rotate_order: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     k_crop, k_jit, k_rot, k_elastic = jax.random.split(key, 4)
 
@@ -159,12 +191,13 @@ def _augment_one(
         # Image and target share crop/angle/field: one stacked gather for both
         # (gather cost is per-point, nearly channel-insensitive).
         src = jnp.stack([img_c, tgt_c], axis=-1)
-        out = _fused_rotate_elastic_multi(src, angle, dx, dy, input_size)
+        out = _fused_rotate_elastic_multi(src, angle, dx, dy, input_size,
+                                          order=rotate_order)
         inp = out[..., 0]
         gt_w = jax.lax.dynamic_slice(out[..., 1], (pad, pad), (crop, crop))
     else:
-        img_r = rotate_about_center(img_c, angle, input_size)
-        tgt_r = rotate_about_center(tgt_c, angle, input_size)
+        img_r = rotate_about_center(img_c, angle, input_size, order=rotate_order)
+        tgt_r = rotate_about_center(tgt_c, angle, input_size, order=rotate_order)
         inp = elastic_warp(img_r, dx, dy)
         tgt_w = elastic_warp(tgt_r, dx, dy)
         gt_w = jax.lax.dynamic_slice(tgt_w, (pad, pad), (crop, crop))
@@ -192,6 +225,7 @@ class AugmentPipeline:
                 rotate_step=aug.rotate_step_deg,
                 skip=aug.crop_grid_skip,
                 fused_warp=aug.fused_warp,
+                rotate_order=aug.rotate_order,
             )
         )
 

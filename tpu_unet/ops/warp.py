@@ -103,6 +103,92 @@ def map_coordinates_bilinear(img: jax.Array, coords: Tuple[jax.Array, jax.Array]
     return jnp.where(inside, out, cval)
 
 
+def _bspline3_collocation_np(n: int):
+    """[n, n] cubic B-spline collocation matrix with mirror boundary
+    (c[-1] = c[1], c[n] = c[n-2]): row i is the stencil [1/6, 4/6, 1/6]
+    sampling the coefficients that must reproduce the signal at knot i."""
+    import numpy as np
+
+    b = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for off, wgt in ((-1, 1 / 6), (0, 4 / 6), (1, 1 / 6)):
+            j = i + off
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            b[i, j] += wgt
+    return b
+
+
+def spline_filter_matrix(n: int) -> jnp.ndarray:
+    """[n, n] dense cubic-spline prefilter F = B^-1: ``F @ x`` gives the
+    B-spline coefficients whose spline interpolates x exactly at the knots,
+    with mirror boundary — matching ``scipy.ndimage.spline_filter1d(order=3)``
+    (which computes the same inverse via its causal/anticausal IIR). Dense
+    matmul instead of a sequential scan: the sizes here are static and the
+    MXU does the [n,n] @ [n,m] product in microseconds."""
+    import numpy as np
+
+    return jnp.asarray(np.linalg.inv(_bspline3_collocation_np(n)),
+                       jnp.float32)
+
+
+def _bspline3_weights(t: jax.Array):
+    """Cubic B-spline basis values for taps at offsets (-1, 0, 1, 2) around
+    the integer part, t = fractional part in [0, 1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w_m1 = (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0
+    w_0 = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0
+    w_p1 = (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0
+    w_p2 = t3 / 6.0
+    return (w_m1, w_0, w_p1, w_p2)
+
+
+def _mirror_index(idx: jax.Array, n: int) -> jax.Array:
+    """Reflect integer indices into [0, n-1] (mirror without edge repeat),
+    matching the prefilter's boundary condition for near-edge taps."""
+    idx = jnp.abs(idx)
+    return jnp.where(idx >= n, 2 * (n - 1) - idx, idx)
+
+
+def map_coordinates_cubic(img: jax.Array, coords: Tuple[jax.Array, jax.Array],
+                          cval: float = 0.0,
+                          prefiltered: bool = False) -> jax.Array:
+    """Cubic B-spline resampling matching
+    ``scipy.ndimage.map_coordinates(img, coords, order=3, mode='constant')``
+    away from the border (scipy's 'constant'-mode prefilter itself uses
+    mirror boundaries; exact parity holds for coordinates >= 1 knot inside,
+    which is the only regime the augmentation pipeline samples — the
+    reference reflect-pads generously before rotating, ``data.py:109-112``).
+
+    Set prefiltered=True if `img` already holds spline coefficients
+    (e.g. shared across several warps of the same source).
+    """
+    h, w = img.shape
+    x = img.astype(jnp.float32)
+    if not prefiltered:
+        x = (spline_filter_matrix(h) @ x) @ spline_filter_matrix(w).T
+    ci, cj = coords
+    i0 = jnp.floor(ci).astype(jnp.int32)
+    j0 = jnp.floor(cj).astype(jnp.int32)
+    ti = ci - i0
+    tj = cj - j0
+    wi = _bspline3_weights(ti)
+    wj = _bspline3_weights(tj)
+    flat = x.reshape(-1)
+    out = jnp.zeros(ci.shape, jnp.float32)
+    rows = [_mirror_index(i0 + di, h) for di in (-1, 0, 1, 2)]
+    cols = [_mirror_index(j0 + dj, w) for dj in (-1, 0, 1, 2)]
+    for a in range(4):
+        row_base = rows[a] * w
+        for b in range(4):
+            out = out + wi[a] * wj[b] * jnp.take(flat, row_base + cols[b])
+    inside = (ci >= 0) & (ci <= h - 1) & (cj >= 0) & (cj <= w - 1)
+    return jnp.where(inside, out, cval)
+
+
 def rotation_coords(out_size: int, in_shape: Tuple[int, int], angle_deg: jax.Array
                     ) -> Tuple[jax.Array, jax.Array]:
     """Source coordinates sampling an `out_size`^2 window rotated by
@@ -126,13 +212,20 @@ def rotation_coords(out_size: int, in_shape: Tuple[int, int], angle_deg: jax.Arr
     return src_i, src_j
 
 
-def rotate_about_center(img: jax.Array, angle_deg: jax.Array, out_size: int) -> jax.Array:
+def rotate_about_center(img: jax.Array, angle_deg: jax.Array, out_size: int,
+                        order: int = 1) -> jax.Array:
     """Rotate `img` about its center and return the central `out_size`^2
     window, reflect-folding source coordinates (multi-bounce, so the virtual
-    reflect padding of ``data.py:109-112`` never materializes)."""
+    reflect padding of ``data.py:109-112`` never materializes).
+
+    order=1 bilinear (default, composes into the fused single-gather path);
+    order=3 cubic B-spline — the reference's ``scipy.ndimage.rotate`` default
+    (``data.py:116-117``). A/B measurement: results/r2/rotation_ab.md."""
     si, sj = rotation_coords(out_size, img.shape, angle_deg)
     si = fold_reflect(si, img.shape[0])
     sj = fold_reflect(sj, img.shape[1])
+    if order == 3:
+        return map_coordinates_cubic(img, (si, sj))
     return map_coordinates_bilinear(img, (si, sj))
 
 
