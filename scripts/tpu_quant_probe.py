@@ -43,22 +43,37 @@ def measure_roundtrip():
     log(f"tunnel roundtrip {ROUNDTRIP*1e3:.1f} ms")
 
 
-def timeit(fn, *args, n=6):
-    """Median per-call seconds, net of roundtrip. fn must return an array.
+def timeit(fn, *args, n=4, reps=8, chain_arg=None):
+    """Median per-op seconds: `reps` dependency-chained invocations of fn
+    inside ONE jit, so ops far below the ~35 ms tunnel roundtrip resolve.
 
-    The readback reduction lives INSIDE the jit: a host-side
-    astype/ravel/sum chain would add output-size-proportional copies to every
-    timed call (this bug skewed the first probe1.log run's absolute numbers;
-    same-shape relative comparisons were unaffected). A FULL sum — a sliced
-    one would let XLA narrow the conv itself to the sliced channels/rows.
-    Overhead = one read of the output (~2 ms for the largest layers)."""
-    g = jax.jit(lambda *a: jnp.sum(fn(*a)).astype(jnp.float32))
-    float(g(*args))
+    Chain: a traced epsilon (always 0/denormal at runtime) derived from the
+    previous rep's full output sum is added to args[chain_arg] (default: the
+    last small arg — weights — to keep the perturbation pass cheap). The full
+    sum also blocks XLA from narrowing the op to a sliced readback. Overhead
+    per rep = one perturb-add of the chained arg + one read of the output.
+
+    (probe1.log used host-side readbacks — output-sized copies per call;
+    probe2.log's first section used per-call timing — sub-roundtrip ops came
+    out negative. This is the third and correct harness.)"""
+    ci = chain_arg if chain_arg is not None else (1 if len(args) > 1 else 0)
+
+    @jax.jit
+    def run(*a):
+        def body(c, _):
+            aa = list(a)
+            aa[ci] = aa[ci] + (c * 1e-30).astype(aa[ci].dtype)
+            y = fn(*aa)
+            return jnp.sum(y).astype(jnp.float32) * 1e-30, None
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return s
+
+    float(run(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        float(g(*args))
-        times.append(time.perf_counter() - t0 - ROUNDTRIP)
+        float(run(*args))
+        times.append((time.perf_counter() - t0 - ROUNDTRIP) / reps)
     return float(np.median(times))
 
 

@@ -42,6 +42,22 @@ def export_predictions(output_dir: str, idx: int, image: np.ndarray,
     _save_tiff(os.path.join(output_dir, "preds", f"pred{idx}.tif"), pred)
 
 
+# Engines (and their jitted programs) cached across evaluate() calls: an
+# eval-heavy loop would otherwise recompile every epoch. Keyed on the model
+# *config* — model.apply depends only on (cfg, params), and params are passed
+# per call — plus the image shape and tile plan.
+_ENGINE_CACHE: Dict[tuple, TileInference] = {}
+
+
+def _get_engine(model, h: int, w: int, tile_out: Optional[int]) -> TileInference:
+    key = (model.cfg, h, w, tile_out)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = TileInference(model, h, w, tile_out=tile_out)
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
 def evaluate(
     model,
     params,
@@ -63,7 +79,7 @@ def evaluate(
 
     per_image = [None] * len(data)
     for shape, indices in groups.items():
-        engine = TileInference(model, shape[0], shape[1], tile_out=tile_out)
+        engine = _get_engine(model, shape[0], shape[1], tile_out)
         imgs = np.stack([prepared[i][0] for i in indices])
         preds = np.asarray(engine.predict_batch(params, imgs))
         for k, idx in enumerate(indices):
