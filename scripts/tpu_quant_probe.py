@@ -167,37 +167,45 @@ def section_pallas(batch):
             continue
         for kind in ("int8", "bf16"):
             best = None
-            for br in (8, 16, 32):
-                for ct in (min(cout, 256),):
-                    try:
-                        if kind == "int8":
-                            x = jax.random.randint(rng, (batch, s, s, cin),
-                                                   -127, 128, jnp.int8)
-                            w = jax.random.randint(rng, (3, 3, cin, cout),
-                                                   -127, 128, jnp.int8)
-                        else:
-                            x = jax.random.normal(rng, (batch, s, s, cin),
-                                                  jnp.bfloat16)
-                            w = jax.random.normal(rng, (3, 3, cin, cout),
-                                                  jnp.bfloat16)
-                        a = jnp.full((cout,), 1e-3, jnp.float32)
-                        b = jnp.zeros((cout,), jnp.float32)
-                        f = jax.jit(lambda x, w, a, b, br=br, ct=ct:
-                                    conv3x3_fused(x, w, a, b, block_rows=br,
-                                                  cout_tile=ct))
-                        dt = timeit(f, x, w, a, b, n=4)
-                        if best is None or dt < best[0]:
-                            best = (dt, br, ct)
-                        del x, w
-                    except Exception as e:
-                        log(f"  {name} {kind} br={br} ct={ct}: FAILED "
-                            f"{type(e).__name__}: {str(e)[:120]}")
+            for variant in ("nconcat", "taps"):
+                for br in (8, 16):
+                    ct = min(cout, 256)
+                    for attempt in (1, 2):  # the compile helper is flaky
+                        try:
+                            if kind == "int8":
+                                x = jax.random.randint(rng, (batch, s, s, cin),
+                                                       -127, 128, jnp.int8)
+                                w = jax.random.randint(rng, (3, 3, cin, cout),
+                                                       -127, 128, jnp.int8)
+                            else:
+                                x = jax.random.normal(rng, (batch, s, s, cin),
+                                                      jnp.bfloat16)
+                                w = jax.random.normal(rng, (3, 3, cin, cout),
+                                                      jnp.bfloat16)
+                            a = jnp.full((cout,), 1e-3, jnp.float32)
+                            b = jnp.zeros((cout,), jnp.float32)
+                            f = jax.jit(lambda x, w, a, b, br=br, ct=ct,
+                                        v=variant:
+                                        conv3x3_fused(x, w, a, b,
+                                                      block_rows=br,
+                                                      cout_tile=ct, variant=v))
+                            dt = timeit(f, x, w, a, b, n=4)
+                            log(f"    {name} {kind} {variant} br={br}: "
+                                f"{dt*1e3:.1f} ms")
+                            if best is None or dt < best[0]:
+                                best = (dt, br, ct, variant)
+                            del x, w
+                            break
+                        except Exception as e:
+                            log(f"  {name} {kind} {variant} br={br} "
+                                f"attempt {attempt}: FAILED "
+                                f"{type(e).__name__}: {str(e)[:100]}")
             if best:
-                dt, br, ct = best
+                dt, br, ct, variant = best
                 gf = gflops(batch, s, cin, cout)
                 log(f"  {name:12s} {kind} {s:5d}^2 {cin:4d}->{cout:4d}  "
                     f"{dt*1e3:8.1f} ms  {gf/dt/1e3:6.1f} T/s  "
-                    f"(br={br} ct={ct})")
+                    f"(br={br} ct={ct} {variant})")
 
 
 def section_upconv(batch):
@@ -235,6 +243,37 @@ def section_upconv(batch):
             f"({gf/dt1/1e3:5.1f} TF/s)  mm+d2s {dt2*1e3:7.1f} ms "
             f"({gf/dt2/1e3:5.1f} TF/s)  relerr {err:.2e}")
         del x, w
+
+
+def section_peak(batch):
+    """Raw MXU ceilings: chained 4096^3 matmuls in bf16 and int8."""
+    log("== peak matmul: bf16 vs int8 (chained 8192^3) ==")
+    n = 8192  # long matmuls amortize the per-iter clip/cast repack
+    xb = jnp.full((n, n), 1.0 / n, jnp.bfloat16)   # self-stable chain
+    xi = jnp.ones((n, n), jnp.int8)
+
+    @jax.jit
+    def chain_bf16(a):
+        def body(c, _):
+            return (c @ c).astype(jnp.bfloat16), None
+        y, _ = lax.scan(body, a, None, length=20)
+        return jnp.sum(y.astype(jnp.float32))
+
+    @jax.jit
+    def chain_int8(a):
+        def body(c, _):
+            y = lax.dot(c, c, preferred_element_type=jnp.int32)
+            # keep values at 1 so the chain neither overflows nor folds
+            return jnp.clip(y, -1, 1).astype(jnp.int8), None
+        y, _ = lax.scan(body, a, None, length=20)
+        return jnp.sum(y.astype(jnp.float32))
+
+    for name, f, x in (("bf16", chain_bf16, xb), ("int8", chain_int8, xi)):
+        float(f(x))
+        t0 = time.perf_counter()
+        float(f(x))
+        dt = time.perf_counter() - t0 - ROUNDTRIP
+        log(f"  {name}: {20 * 2 * n ** 3 / dt / 1e12:6.1f} T/s")
 
 
 def section_argmax(batch):
@@ -275,17 +314,19 @@ def section_e2e(batch, tile=1212):
 
     calib = jax.random.uniform(jax.random.PRNGKey(2), (2, 444, 444, 1),
                                jnp.float32)
-    for impl in ("pallas", "xla"):
+    for impl, min_ch in (("xla", 128), ("xla", 64), ("xla", 256),
+                         ("pallas", 128), ("pallas", 256)):
         try:
             qi = build_quant_inference(model, params, calib, impl=impl,
-                                       interpret=False)
+                                       min_channels=min_ch, interpret=False)
             qfwd = jax.jit(lambda x: jnp.argmax(qi.apply(x), axis=-1))
             dt = timeit(qfwd, x, n=5)
             tps = batch * ((tile - 184) / 512.0) ** 2 / dt
-            log(f"  int8 {impl:7s}: {dt*1e3:8.1f} ms  {flop/dt/1e12:5.1f} TF/s  "
-                f"{tps:6.1f} tiles/s")
+            log(f"  int8 {impl:7s} min_ch={min_ch:3d}: {dt*1e3:8.1f} ms  "
+                f"{flop/dt/1e12:5.1f} TF/s  {tps:6.1f} tiles/s")
         except Exception as e:
-            log(f"  int8 {impl}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            log(f"  int8 {impl} min_ch={min_ch}: FAILED "
+                f"{type(e).__name__}: {str(e)[:160]}")
 
 
 def main():
@@ -299,7 +340,7 @@ def main():
     for s in sections:
         {"levels": section_levels, "int8xla": section_int8xla,
          "pallas": section_pallas, "upconv": section_upconv,
-         "argmax": section_argmax,
+         "argmax": section_argmax, "peak": section_peak,
          "e2e": lambda b: section_e2e(16)}[s](batch)
     log("done")
 

@@ -16,12 +16,13 @@ from tpu_unet.ops.conv_tiles import (
 )
 
 
+@pytest.mark.parametrize("variant", ["nconcat", "taps"])
 @pytest.mark.parametrize("h,w,cin,cout,br,ct", [
     (18, 20, 8, 16, 8, 16),    # rows divide evenly
     (21, 19, 8, 16, 8, 8),     # row padding + cout tiling
     (12, 12, 16, 8, 4, 8),
 ])
-def test_int8_kernel_matches_xla_oracle(h, w, cin, cout, br, ct):
+def test_int8_kernel_matches_xla_oracle(h, w, cin, cout, br, ct, variant):
     rng = np.random.RandomState(0)
     x = rng.randint(-127, 128, (2, h, w, cin)).astype(np.int8)
     wq = rng.randint(-127, 128, (3, 3, cin, cout)).astype(np.int8)
@@ -30,7 +31,7 @@ def test_int8_kernel_matches_xla_oracle(h, w, cin, cout, br, ct):
 
     got8 = conv3x3_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(alpha),
                          jnp.asarray(beta), out_kind="int8", block_rows=br,
-                         cout_tile=ct, interpret=True)
+                         cout_tile=ct, interpret=True, variant=variant)
     exp8 = conv3x3_int8_xla(jnp.asarray(x), jnp.asarray(wq),
                             jnp.asarray(alpha), jnp.asarray(beta),
                             out_kind="int8")
@@ -39,7 +40,7 @@ def test_int8_kernel_matches_xla_oracle(h, w, cin, cout, br, ct):
 
     got16 = conv3x3_fused(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(alpha),
                           jnp.asarray(beta), out_kind="bf16", block_rows=br,
-                          cout_tile=ct, interpret=True)
+                          cout_tile=ct, interpret=True, variant=variant)
     exp16 = conv3x3_int8_xla(jnp.asarray(x), jnp.asarray(wq),
                              jnp.asarray(alpha), jnp.asarray(beta),
                              out_kind="bf16")

@@ -36,17 +36,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(slab_ref, w_ref, a_ref, b_ref, o_ref, *, block_rows, wo,
-            acc_dtype, out_kind):
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            xs = slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :]
-            d = lax.dot_general(
-                xs, w_ref[dy, dx],
+            acc_dtype, out_kind, variant):
+    if variant == "nconcat":
+        # One dot per dy on the CONTIGUOUS row slab (no strided input
+        # copies), with the 3 dx weight matrices concatenated along N:
+        #   Y_dy = slab[dy:dy+br] @ [K[dy,0] | K[dy,1] | K[dy,2]]
+        # so each dot is [br*W, cin] x [cin, 3*ct] — full-M, 3x-wider-N MXU
+        # work (critical at ct=64, where N=192 beats the half-empty lanes a
+        # per-tap dot would use). The dx shift moves to cheap slices of Y.
+        tc = o_ref.shape[-1]
+        cin = slab_ref.shape[-1]
+        acc = None
+        for dy in range(3):
+            # leading-dim slice of the (br+2)-row slab: contiguous, no copy
+            xs = slab_ref[0, 0, dy:dy + block_rows, :, :]   # [br, W, cin]
+            y = lax.dot_general(
+                xs, w_ref[dy].reshape(cin, 3 * tc),      # [cin, 3*ct]
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
-            )                                    # [rows, wo, ct]
-            acc = d if acc is None else acc + d
+            )                                            # [br, W, 3*ct]
+            for dx in range(3):
+                d = y[:, dx:dx + wo, dx * tc:(dx + 1) * tc]
+                acc = d if acc is None else acc + d
+    else:
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                xs = slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :]
+                d = lax.dot_general(
+                    xs, w_ref[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                )                                    # [rows, wo, ct]
+                acc = d if acc is None else acc + d
     y = acc.astype(jnp.float32) * a_ref[0][None, None, :] + b_ref[0][None, None, :]
     y = jnp.maximum(y, 0.0)
     if out_kind == "int8":
@@ -64,12 +86,15 @@ def conv3x3_fused(
     block_rows: int = 16,
     cout_tile: Optional[int] = None,
     interpret: bool = False,
+    variant: str = "nconcat",
 ) -> jax.Array:
     """relu(conv_valid(x, w) * alpha + beta), optionally requantized.
 
     x [B, H, W, Cin] (int8 or bf16/f32), w [3, 3, Cin, Cout] (same kind),
     alpha/beta [Cout] f32 (see module docstring). out_kind: 'int8' stores
     round-clamped int8, 'bf16' stores bf16; 'auto' = int8 for int8 inputs.
+    variant: 'nconcat' (default — 3 full-M dots with dx-concatenated N,
+    measured fastest; see results/r2/) or 'taps' (9 per-tap dots, v2).
     Returns [B, H-2, W-2, Cout].
     """
     if out_kind == "auto":
@@ -99,8 +124,24 @@ def conv3x3_fused(
         out_axes=1,
     )(starts)                                   # [B, R, br+2, W, Cin]
 
+    if variant == "nconcat":
+        # [dy, dx, cin, cout] -> [dy, cin, dx, cout]: kernel flattens the
+        # trailing (dx, ct) pair into the dot's 3*ct-wide N dimension.
+        w_arg = jnp.transpose(w, (0, 2, 1, 3))
+        w_spec = pl.BlockSpec((3, cin, 3, cout_tile),
+                              lambda c, b_, r: (0, 0, 0, c),
+                              memory_space=pltpu.VMEM)
+    elif variant == "taps":
+        w_arg = w
+        w_spec = pl.BlockSpec((3, 3, cin, cout_tile),
+                              lambda c, b_, r: (0, 0, 0, c),
+                              memory_space=pltpu.VMEM)
+    else:
+        raise ValueError(f"variant must be 'nconcat' or 'taps', got {variant!r}")
+
     kernel = functools.partial(_kernel, block_rows=block_rows, wo=wo,
-                               acc_dtype=acc_dtype, out_kind=out_kind)
+                               acc_dtype=acc_dtype, out_kind=out_kind,
+                               variant=variant)
     out = pl.pallas_call(
         kernel,
         # cout tile slowest so weight/scale blocks stay VMEM-resident across
@@ -110,9 +151,7 @@ def conv3x3_fused(
             pl.BlockSpec((1, 1, block_rows + 2, wd, cin),
                          lambda c, b_, r: (b_, r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cin, cout_tile),
-                         lambda c, b_, r: (0, 0, 0, c),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, cout_tile), lambda c, b_, r: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout_tile), lambda c, b_, r: (0, c),
@@ -132,7 +171,7 @@ def conv3x3_fused(
                             + bsz * ho * wo * cout * out_dtype(0).itemsize),
             transcendentals=0,
         ),
-    )(slabs, w, alpha.reshape(1, cout).astype(jnp.float32),
+    )(slabs, w_arg, alpha.reshape(1, cout).astype(jnp.float32),
       beta.reshape(1, cout).astype(jnp.float32))
     if pad_rows:
         out = out[:, :ho - pad_rows]
