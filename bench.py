@@ -137,6 +137,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-int8", action="store_true",
+                    help="skip the int8-quantized serving candidate")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -178,15 +180,17 @@ def main():
     if args.dtype == "bfloat16":
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
-    def bench_batch(b, tile_out):
+    def bench_batch(b, tile_out, apply_fn=None, label=""):
         # Larger output tiles amortize the 184-px receptive-field context:
         # 516-out costs (700/516)^2 = 1.84x per pixel at level 1; 1028-out
         # only 1.39x. Throughput is counted in 512x512 output-tile units.
         tile_in = tile_out + 184
         tiles_per_fwd = (tile_out / 512.0) ** 2
+        if apply_fn is None:
+            apply_fn = lambda tiles: model.apply(params, tiles)
 
         def chunk_fwd(carry, tiles):
-            logits = model.apply(params, tiles)
+            logits = apply_fn(tiles)
             preds = jnp.argmax(logits, axis=-1)
             return carry + jnp.sum(preds, dtype=jnp.int32), None
 
@@ -212,15 +216,15 @@ def main():
         # the measurement time.
         iters = max(3, min(args.iters,
                            int(6e8 / (b * tile_in * tile_in * 4))))
-        log(f"  out={tile_out} batch={b}: generating tiles ({iters} iters) ...")
+        log(f"  out={tile_out} batch={b}{label}: generating tiles ({iters} iters) ...")
         tiles = jax.random.uniform(
             jax.random.PRNGKey(1), (iters, b, tile_in, tile_in, 1),
             jnp.float32)
         float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
-        log(f"  out={tile_out} batch={b}: compiling scan-{iters} ...")
+        log(f"  out={tile_out} batch={b}{label}: compiling scan-{iters} ...")
         t0 = time.perf_counter()
         float(run(tiles))
-        log(f"  out={tile_out} batch={b}: compile+first run "
+        log(f"  out={tile_out} batch={b}{label}: compile+first run "
             f"{time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(max(1, args.warmup)):
@@ -232,7 +236,7 @@ def main():
         dt = float(np.median(times))
         tps = iters * b * tiles_per_fwd / dt
         tf = unet_forward_flops(tile_in, args.width_mult) * iters * b / dt / 1e12
-        log(f"  out={tile_out} batch={b}: {iters} x {b} fwd in "
+        log(f"  out={tile_out} batch={b}{label}: {iters} x {b} fwd in "
             f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
             f"{tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
         return tps
@@ -247,43 +251,75 @@ def main():
         # ~71% MXU utilization; 516-out pays 1.84x context overhead)
         candidates = [(16, 1028), (8, 516)]
 
+    # int8 post-training-quantized serving path (infer/quant.py): measured
+    # +17.5% over bf16 e2e (results/r2/probe4.log: 314.8 vs 267.9 tiles/s at
+    # 16x1212) with < 0.5% IoU degradation (tests/test_quant.py gate). The
+    # XLA-conv implementation is the robust default; 'pallas' is attempted
+    # opportunistically (the env's remote compile helper is flaky on Mosaic).
+    def make_int8_apply(impl):
+        from tpu_unet.infer.quant import build_quant_inference
+
+        calib = jax.random.uniform(jax.random.PRNGKey(2), (2, 444, 444, 1),
+                                   jnp.float32)
+        qi = build_quant_inference(model, params, calib, impl=impl,
+                                   min_channels=128, interpret=False)
+        return qi.apply
+
     def measure_once():
-        best = 0.0
+        best, best_mode = 0.0, "bf16"
         for b, tout in candidates:
             for attempt in (1, 2):
                 try:
-                    best = max(best, bench_batch(b, tout))
+                    tps = bench_batch(b, tout)
+                    if tps > best:
+                        best, best_mode = tps, "bf16"
                     break
                 except Exception as e:  # flaky remote-compile / OOM: retry,
                     log(f"  out={tout} batch={b} attempt {attempt} failed: "
                         f"{type(e).__name__}: {str(e)[:200]}")
             # then fall through to the next candidate
-        return best
+        if args.dtype == "bfloat16" and not args.no_int8:
+            b, tout = candidates[0]
+            for impl in ("xla", "pallas"):
+                try:
+                    tps = bench_batch(b, tout, apply_fn=make_int8_apply(impl),
+                                      label=f" int8-{impl}")
+                    if tps > best:
+                        best, best_mode = tps, f"int8-{impl}"
+                except Exception as e:
+                    log(f"  int8 {impl} failed: {type(e).__name__}: "
+                        f"{str(e)[:200]}")
+        return best, best_mode
 
     # Self-defense against degraded chip windows (the pooled chip varies up
     # to 25x between sessions, CLAUDE.md): the health gate is the WORKLOAD
     # itself — a measurement below HEALTHY_FRACTION of the best healthy
     # number on record re-runs after a pause, and every attempt is reported.
     attempts = []
+    best, best_mode = 0.0, "bf16"
     for _ in range(3):
-        attempts.append(measure_once())
-        if attempts[-1] >= HEALTHY_FRACTION * HEALTHY_TILES_S:
+        tps, mode = measure_once()
+        attempts.append(tps)
+        if tps > best:
+            best, best_mode = tps, mode
+        if tps >= HEALTHY_FRACTION * HEALTHY_TILES_S:
             break
-        log(f"measurement {attempts[-1]:.1f} tiles/s < "
+        log(f"measurement {tps:.1f} tiles/s < "
             f"{HEALTHY_FRACTION:.0%} of healthy reference "
             f"{HEALTHY_TILES_S}; degraded window suspected — pausing 90 s "
             f"and re-running")
         time.sleep(90)
-    best = max(attempts)
     window = ("healthy" if best >= HEALTHY_FRACTION * HEALTHY_TILES_S
               else "degraded")
 
     baseline = 1000.0
     print(json.dumps({
-        "metric": "overlap-tile inference throughput (512x512 tiles, bf16 U-Net)",
+        "metric": "overlap-tile inference throughput (512x512 tiles, U-Net, "
+                  "best of bf16 / int8-quantized serving)",
         "value": round(best, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(best / baseline, 4),
+        "mode": best_mode,
         "window": window,
         "attempts": [round(a, 1) for a in attempts],
         "healthy_reference": HEALTHY_TILES_S,
