@@ -69,15 +69,6 @@ def bench_train(args, model, cfg):
     from tpu_unet.train.optimizer import make_optimizer
     from tpu_unet.train.trainer import TrainState, make_train_step
 
-    import dataclasses
-
-    from tpu_unet.models import UNet as _UNet
-
-    # Training path: the split concat-conv backward trips XLA's
-    # space-to-batch assert at small batch (see trainer.py) — use the plain
-    # concat form like the Trainer does.
-    model = _UNet(dataclasses.replace(cfg, split_concat_conv=False))
-
     log("establishing TPU session ...")
     float(jnp.zeros(()).sum())
     log("building data + model ...")

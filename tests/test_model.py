@@ -166,3 +166,55 @@ def test_translation_consistency():
     np.testing.assert_allclose(
         np.asarray(full)[:, 16:20, 16:20, :], np.asarray(shifted), rtol=2e-2, atol=2e-4
     )
+
+
+def test_split_concat_conv_grads_match_concat_form():
+    """split_concat_conv3x3's custom VJP (backward via the concat form's
+    transposes) must equal the plain concat-conv gradients exactly."""
+    from tpu_unet.models.unet import split_concat_conv3x3, _conv3x3_valid
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 10, 10, 6), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 10, 10, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 11, 8) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(2, 8, 8, 8), jnp.float32)
+
+    def loss_split(a, b, k, bias):
+        return jnp.sum(split_concat_conv3x3(a, b, k, bias) * g)
+
+    def loss_concat(a, b, k, bias):
+        cat = jnp.concatenate([a, b], axis=-1)
+        return jnp.sum((_conv3x3_valid(cat, k) + bias) * g)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_split(a, b, k, bias)),
+        np.asarray(loss_concat(a, b, k, bias)), rtol=1e-6)
+    gs = jax.grad(loss_split, argnums=(0, 1, 2, 3))(a, b, k, bias)
+    gc = jax.grad(loss_concat, argnums=(0, 1, 2, 3))(a, b, k, bias)
+    for got, want in zip(gs, gc):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_split_concat_model_grads_match_concat_model():
+    """Full-model gradient equivalence: split_concat_conv=True vs False give
+    identical grads (same parameter tree, same math)."""
+    import dataclasses
+
+    cfg = _tiny_cfg(split_concat_conv=True)
+    model_s = UNet(cfg)
+    model_c = UNet(dataclasses.replace(cfg, split_concat_conv=False))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 188, 188, 1), jnp.float32)
+    params = model_s.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, p):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    gs = jax.grad(lambda p: loss(model_s, p))(params)
+    gc = jax.grad(lambda p: loss(model_c, p))(params)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(gs)
+    flat_c, _ = jax.tree_util.tree_flatten_with_path(gc)
+    for (ks, vs), (_, vc) in zip(flat_s, flat_c):
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vc),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(ks))

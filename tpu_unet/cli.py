@@ -71,7 +71,9 @@ def _load_data(args, ds_cfg):
 
     if args.synthetic or args.dataset == "synthetic":
         crop = ds_cfg.crop if args.dataset != "synthetic" else 196
-        train = synthetic_dataset(n_images=8, h=256, w=256, n_cells=5,
+        # fixture images must cover the crop window (HeLa/ISBI crop is 388)
+        side = max(256, crop + 60)
+        train = synthetic_dataset(n_images=8, h=side, w=side, n_cells=5,
                                   crop=crop, seed=args.seed)
         return train, train
     root = os.path.join(args.data_dir, f"{args.dataset}-training")

@@ -95,8 +95,9 @@ def _conv_inits(scheme: str, k: int, fan_in: float, *, first: bool = False,
 class _PallasConvRelu(nn.Module):
     """3x3 valid conv + bias + ReLU via the fused Pallas tile kernel
     (ops/conv_pallas.py). Parameter tree matches nn.Conv ({kernel, bias}),
-    so checkpoints interoperate; inference-only (no VJP). Callers' extra
-    nn.relu is idempotent on the fused output."""
+    so checkpoints interoperate. Trainable: the kernel carries a custom VJP
+    (Pallas forward, XLA transposed-conv backward). Callers' extra nn.relu
+    is idempotent on the fused output."""
 
     features: int
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -118,12 +119,55 @@ class _PallasConvRelu(nn.Module):
             bias.astype(self.dtype), interpret=interpret)
 
 
+def _conv3x3_valid(x: jax.Array, k: jax.Array) -> jax.Array:
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, k, (1, 1), "VALID",
+                                        dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def split_concat_conv3x3(a: jax.Array, b: jax.Array, kernel: jax.Array,
+                         bias: jax.Array) -> jax.Array:
+    """conv3x3_valid(concat(a, b), kernel) + bias, computed as
+    conv(a, K[:, :, :Ca]) + conv(b, K[:, :, Ca:]) + bias — identical math,
+    but the concat tensor is never materialized (HBM win at full resolution,
+    measured +3% on the serving tiles).
+
+    The backward is routed through the *concat* form's transposes: the split
+    form's autodiff backward trips XLA TPU's space-to-batch halo assert at
+    small batch (space_to_batch_converter.cc), while the concat form's
+    gradients — the exact same cotangents — compile fine. One concat is
+    materialized in the backward only."""
+    ca = a.shape[-1]
+    return (_conv3x3_valid(a, kernel[:, :, :ca])
+            + _conv3x3_valid(b, kernel[:, :, ca:]) + bias)
+
+
+def _scc_fwd(a, b, kernel, bias):
+    return split_concat_conv3x3(a, b, kernel, bias), (a, b, kernel)
+
+
+def _scc_bwd(res, g):
+    a, b, kernel = res
+    ca = a.shape[-1]
+    cat = jnp.concatenate([a, b], axis=-1)
+    # conv is linear in each operand: linear_transpose builds the cotangent
+    # convs without re-running the primal (unlike jax.vjp).
+    (dcat,) = jax.linear_transpose(
+        lambda x: _conv3x3_valid(x, kernel), cat)(g)
+    (dk,) = jax.linear_transpose(
+        lambda k: _conv3x3_valid(cat, k), kernel)(g)
+    return dcat[..., :ca], dcat[..., ca:], dk, jnp.sum(g, axis=(0, 1, 2))
+
+
+split_concat_conv3x3.defvjp(_scc_fwd, _scc_bwd)
+
+
 class _SplitConcatConv(nn.Module):
-    """conv3x3(concat(a, b)) computed as conv(a, W[..., :Ca, :]) +
-    conv(b, W[..., Ca:, :]) + bias — identical math, but the concat tensor is
-    never materialized (HBM traffic win at full resolution). The parameter
-    tree matches nn.Conv over the concatenated input, so checkpoints and the
-    torch converter interoperate."""
+    """conv3x3(concat(a, b)) via ``split_concat_conv3x3`` (see its docstring).
+    The parameter tree matches nn.Conv over the concatenated input, so
+    checkpoints and the torch converter interoperate."""
 
     features: int
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -138,16 +182,9 @@ class _SplitConcatConv(nn.Module):
                             (3, 3, ca + cb, self.features), self.param_dtype)
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype)
-        k = kernel.astype(self.dtype)
-        dn = jax.lax.conv_dimension_numbers(
-            a.shape, (3, 3, ca, self.features), ("NHWC", "HWIO", "NHWC"))
-        ya = jax.lax.conv_general_dilated(
-            a.astype(self.dtype), k[:, :, :ca], (1, 1), "VALID",
-            dimension_numbers=dn)
-        yb = jax.lax.conv_general_dilated(
-            b.astype(self.dtype), k[:, :, ca:], (1, 1), "VALID",
-            dimension_numbers=dn)
-        return ya + yb + bias.astype(self.dtype)
+        return split_concat_conv3x3(
+            a.astype(self.dtype), b.astype(self.dtype),
+            kernel.astype(self.dtype), bias.astype(self.dtype))
 
 
 class UNet(nn.Module):

@@ -143,13 +143,11 @@ class Trainer:
         nan_check: bool = False,
     ):
         self.dataset_cfg = dataset_cfg
-        # The split concat-conv is an inference-path optimization; its
-        # *backward* at small batch trips an XLA TPU space-to-batch assert
-        # (space_to_batch_converter.cc halo check). Train/eval with the plain
-        # concat form — the parameter tree is identical, so checkpoints serve
-        # with split_concat_conv=True unchanged.
-        self.model_cfg = dataclasses.replace(model_cfg, split_concat_conv=False)
-        model_cfg = self.model_cfg
+        # The split concat-conv trains as-is: its custom VJP routes the
+        # backward through the concat form's transposes, dodging the XLA TPU
+        # space-to-batch assert its autodiff backward used to trip at small
+        # batch (models/unet.py::split_concat_conv3x3).
+        self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.loss_cfg = loss_cfg or dataset_cfg.loss()
         self.aug_cfg = aug_cfg or dataset_cfg.augment()
