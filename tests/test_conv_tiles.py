@@ -16,7 +16,7 @@ from tpu_unet.ops.conv_tiles import (
 )
 
 
-@pytest.mark.parametrize("variant", ["nconcat", "taps"])
+@pytest.mark.parametrize("variant", ["nconcat", "taps", "rows3", "im2col"])
 @pytest.mark.parametrize("h,w,cin,cout,br,ct", [
     (18, 20, 8, 16, 8, 16),    # rows divide evenly
     (21, 19, 8, 16, 8, 8),     # row padding + cout tiling

@@ -35,9 +35,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(slab_ref, w_ref, a_ref, b_ref, o_ref, *, block_rows, wo,
+def _kernel(slab_ref, w_ref, a_ref, b_ref, o_ref, buf_ref, *, block_rows, wo,
             acc_dtype, out_kind, variant):
-    if variant == "nconcat":
+    if variant == "rows3":
+        # dy-loop of ONE deep dot each: materialize the dx-im2col buffer
+        # [br, wo, 3*cin] in VMEM scratch (3 contiguous sub-slab copies),
+        # then [br*wo, 3*cin] @ [3*cin, ct] — K is 3x deeper than a per-tap
+        # dot, so the MXU pipeline stays fed instead of stalling on 9
+        # strided operand preps.
+        cin = slab_ref.shape[-1]
+        tc = o_ref.shape[-1]
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                buf_ref[:, :, dx * cin:(dx + 1) * cin] = (
+                    slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :])
+            d = lax.dot_general(
+                buf_ref[...].reshape(block_rows * wo, 3 * cin),
+                w_ref[dy].reshape(3 * cin, tc),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+            acc = d if acc is None else acc + d
+        acc = acc.reshape(block_rows, wo, tc)
+    elif variant == "im2col":
+        # Full im2col: buffer [br, wo, 9*cin] (dy,dx)-major, ONE dot with
+        # K = 9*cin.
+        cin = slab_ref.shape[-1]
+        tc = o_ref.shape[-1]
+        for dy in range(3):
+            for dx in range(3):
+                t = (dy * 3 + dx) * cin
+                buf_ref[:, :, t:t + cin] = (
+                    slab_ref[0, 0, dy:dy + block_rows, dx:dx + wo, :])
+        acc = lax.dot_general(
+            buf_ref[...].reshape(block_rows * wo, 9 * cin),
+            w_ref[...].reshape(9 * cin, tc),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        ).reshape(block_rows, wo, tc)
+    elif variant == "nconcat":
         # One dot per dy on the CONTIGUOUS row slab (no strided input
         # copies), with the 3 dx weight matrices concatenated along N:
         #   Y_dy = slab[dy:dy+br] @ [K[dy,0] | K[dy,1] | K[dy,2]]
@@ -93,8 +130,10 @@ def conv3x3_fused(
     x [B, H, W, Cin] (int8 or bf16/f32), w [3, 3, Cin, Cout] (same kind),
     alpha/beta [Cout] f32 (see module docstring). out_kind: 'int8' stores
     round-clamped int8, 'bf16' stores bf16; 'auto' = int8 for int8 inputs.
-    variant: 'nconcat' (default — 3 full-M dots with dx-concatenated N,
-    measured fastest; see results/r2/) or 'taps' (9 per-tap dots, v2).
+    variant: 'nconcat' (3 full-M dots with dx-concatenated N), 'taps'
+    (9 per-tap dots), 'rows3' (dx-im2col VMEM scratch, 3 dots with K=3*cin),
+    or 'im2col' (full im2col scratch, 1 dot with K=9*cin). Measured per shape
+    on hardware — see results/r2/.
     Returns [B, H-2, W-2, Cout].
     """
     if out_kind == "auto":
@@ -131,13 +170,25 @@ def conv3x3_fused(
         w_spec = pl.BlockSpec((3, cin, 3, cout_tile),
                               lambda c, b_, r: (0, 0, 0, c),
                               memory_space=pltpu.VMEM)
-    elif variant == "taps":
+    elif variant in ("taps", "rows3", "im2col"):
         w_arg = w
         w_spec = pl.BlockSpec((3, 3, cin, cout_tile),
                               lambda c, b_, r: (0, 0, 0, c),
                               memory_space=pltpu.VMEM)
     else:
-        raise ValueError(f"variant must be 'nconcat' or 'taps', got {variant!r}")
+        raise ValueError(
+            f"variant must be 'nconcat', 'taps', 'rows3' or 'im2col', "
+            f"got {variant!r}")
+
+    # im2col scratch (VMEM) for the deep-K variants; minimal placeholder
+    # otherwise (pallas requires a concrete scratch shape either way).
+    if variant == "rows3":
+        buf_shape = (block_rows, wo, 3 * cin)
+    elif variant == "im2col":
+        buf_shape = (block_rows, wo, 9 * cin)
+    else:
+        buf_shape = (1, 128)
+    scratch = [pltpu.VMEM(buf_shape, x.dtype)]
 
     kernel = functools.partial(_kernel, block_rows=block_rows, wo=wo,
                                acc_dtype=acc_dtype, out_kind=out_kind,
@@ -163,6 +214,7 @@ def conv3x3_fused(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, cout), out_dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * ho * wo * 9 * cin * cout,
