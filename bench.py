@@ -130,6 +130,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-int8", action="store_true",
                     help="skip the int8-quantized serving candidate")
+    ap.add_argument("--int8-impls", default="xla",
+                    help='comma list of quant conv impls to bench ("xla",'
+                         ' "pallas")')
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -238,15 +241,17 @@ def main():
     elif args.batch:
         candidates = [(args.batch, args.tile_out)]
     else:
-        # best-known config first (measured round 1: 258 tiles/s at 16x1028,
-        # ~71% MXU utilization; 516-out pays 1.84x context overhead)
-        candidates = [(16, 1028), (8, 516)]
+        # Larger output tiles amortize the 184-px receptive-field context
+        # (1028-out pays 1.39x FLOPs per output px, 2052-out only 1.19x);
+        # 16x1028 was round 1's best (267 tiles/s bf16).
+        candidates = [(16, 1028), (4, 2052)]
 
     # int8 post-training-quantized serving path (infer/quant.py): measured
     # +17.5% over bf16 e2e (results/r2/probe4.log: 314.8 vs 267.9 tiles/s at
-    # 16x1212) with < 0.5% IoU degradation (tests/test_quant.py gate). The
-    # XLA-conv implementation is the robust default; 'pallas' is attempted
-    # opportunistically (the env's remote compile helper is flaky on Mosaic).
+    # 16x1212) with < 0.5% IoU degradation (tests/test_quant.py gate).
+    # impl='xla' (int8 lax.conv) won every per-layer serving shape over the
+    # Pallas tiles (results/r2/shootout.txt) and is the only impl benched;
+    # pass --int8-impls to probe others.
     def make_int8_apply(impl):
         from tpu_unet.infer.quant import build_quant_inference
 
@@ -263,23 +268,24 @@ def main():
                 try:
                     tps = bench_batch(b, tout)
                     if tps > best:
-                        best, best_mode = tps, "bf16"
+                        best, best_mode = tps, f"bf16-{b}x{tout}"
                     break
                 except Exception as e:  # flaky remote-compile / OOM: retry,
                     log(f"  out={tout} batch={b} attempt {attempt} failed: "
                         f"{type(e).__name__}: {str(e)[:200]}")
             # then fall through to the next candidate
         if args.dtype == "bfloat16" and not args.no_int8:
-            b, tout = candidates[0]
-            for impl in ("xla", "pallas"):
-                try:
-                    tps = bench_batch(b, tout, apply_fn=make_int8_apply(impl),
-                                      label=f" int8-{impl}")
-                    if tps > best:
-                        best, best_mode = tps, f"int8-{impl}"
-                except Exception as e:
-                    log(f"  int8 {impl} failed: {type(e).__name__}: "
-                        f"{str(e)[:200]}")
+            for b, tout in candidates:
+                for impl in args.int8_impls.split(","):
+                    try:
+                        tps = bench_batch(b, tout,
+                                          apply_fn=make_int8_apply(impl),
+                                          label=f" int8-{impl}")
+                        if tps > best:
+                            best, best_mode = tps, f"int8-{impl}-{b}x{tout}"
+                    except Exception as e:
+                        log(f"  int8 {impl} {b}x{tout} failed: "
+                            f"{type(e).__name__}: {str(e)[:200]}")
         return best, best_mode
 
     # Self-defense against degraded chip windows (the pooled chip varies up

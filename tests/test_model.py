@@ -218,3 +218,31 @@ def test_split_concat_model_grads_match_concat_model():
     for (ks, vs), (_, vc) in zip(flat_s, flat_c):
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vc),
                                    rtol=1e-5, atol=1e-6, err_msg=str(ks))
+
+
+def test_matmul_upconv_matches_conv_transpose():
+    # upconv_impl='matmul' (one MXU dot + depth-to-space) is exactly
+    # nn.ConvTranspose for the overlap-free 2x2/stride-2 case: same params,
+    # same forward, same gradients.
+    cfg_x = _tiny_cfg(upconv_impl="xla")
+    cfg_m = _tiny_cfg(upconv_impl="matmul")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 188, 188, 1))
+    params = UNet(cfg_x).init(jax.random.PRNGKey(0), x)
+    y_x = UNet(cfg_x).apply(params, x)
+    y_m = UNet(cfg_m).apply(params, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(model):
+        def f(p):
+            return jnp.sum(model.apply(p, x) ** 2)
+        return f
+
+    g_x = jax.grad(loss(UNet(cfg_x)))(params)
+    g_m = jax.grad(loss(UNet(cfg_m)))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(g_m))
+    for path, gx in flat_x:
+        np.testing.assert_allclose(np.asarray(flat_m[path]), np.asarray(gx),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=str(path))

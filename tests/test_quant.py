@@ -37,8 +37,8 @@ def test_default_quant_names_full_width():
     assert {"bottleneck_conv1", "bottleneck_conv2"} <= names
     for d in (1, 2, 3):
         assert f"dec{d}_conv1" in names and f"dec{d}_conv2" in names
-    assert "dec0_conv1" not in names          # cout 64
-    assert "dec0_conv2" not in names
+    assert "dec0_conv1" in names              # cin 128 (cat): int8 wins
+    assert "dec0_conv2" not in names          # cin 64: bf16 wins
 
 
 @pytest.fixture(scope="module")

@@ -43,9 +43,18 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False          # jax.checkpoint the encoder levels
     # 'xla' (default): native XLA convolutions (autodiff-capable).
-    # 'pallas': fused conv+bias+ReLU Pallas tiles for the 3x3 convs —
-    # inference-only (no VJP); same parameter tree, so checkpoints interop.
+    # 'pallas': fused conv+bias+ReLU Pallas tiles for the 3x3 convs (custom
+    # VJP: Pallas forward, XLA transposed-conv backward — trainable); same
+    # parameter tree, so checkpoints interop.
     conv_impl: str = "xla"
+    # Upconv (2x2 stride-2 ConvTranspose) implementation. The kernel windows
+    # never overlap, so it is exactly one matmul + depth-to-space: 'matmul'
+    # computes [B*H*W, Cin] @ [Cin, 4*Cout] and reshuffles. Measured on
+    # hardware (results/r2/shootout.txt): lax.conv_transpose ('xla', default)
+    # is FASTER at all four serving shapes — 'matmul' is kept as the
+    # documented alternative. Identical math and parameter tree
+    # (tests/test_model.py).
+    upconv_impl: str = "xla"
     # Decoder first convs: conv(concat(skip, up)) == conv(skip, W_s) +
     # conv(up, W_u); the split form never materializes the concat tensor
     # (HBM traffic win at full resolution). Same parameter tree.

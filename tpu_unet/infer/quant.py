@@ -10,9 +10,12 @@ the bf16 rate, and round-1 measured the model's bf16 ceiling at ~500 tiles/s
   (calibrated: abs-max over sample tiles / 127) + per-output-channel weight
   scales;
 * the 3x3 convs with cin/cout >= `min_channels` (default 128 — 76% of the
-  model's FLOPs at serving tile sizes) run as fused Pallas int8 MXU tiles
-  (ops/conv_tiles.py): int8 x int8 -> int32, scale+bias+ReLU+requantize in
-  the kernel, int8 activations in HBM (4x less activation traffic than f32);
+  model's FLOPs at serving tile sizes) run int8 x int8 -> int32 with a fused
+  scale+bias+ReLU+requantize epilogue and int8 activations in HBM (4x less
+  activation traffic than f32). Two backends: 'xla' (lax.conv in int8 — the
+  measured default: 330-550 T/s per layer, results/r2/shootout.txt) and
+  'pallas' (fused MXU tiles, ops/conv_tiles.py — measured slower at every
+  serving shape; kept as the documented kernel-research path and oracle);
 * max-pool operates on int8 directly (order-preserving); upconvs, the
   low-channel convs, and the 1x1 head stay bf16; decoder concats happen in
   bf16 and are re-quantized once per decoder level.
@@ -52,22 +55,24 @@ def _conv_names(cfg: ModelConfig) -> Tuple[str, ...]:
 
 
 def default_quant_names(cfg: ModelConfig, min_channels: int = 128) -> FrozenSet[str]:
-    """3x3 convs whose cin AND cout reach `min_channels` — the int8-profitable
-    set (round-1 measured XLA int8 at 0.9x below 128 channels)."""
+    """3x3 convs whose cin (the MXU contraction depth) reaches `min_channels`
+    — the int8-profitable set. Measured per layer at serving shapes
+    (results/r2/shootout_lowch.txt): int8 XLA wins at every cin >= 128 layer
+    (+23%..+51%) and loses at every cin == 64 layer, regardless of cout."""
     w = cfg.widths
     out = set()
     for d in range(cfg.depth):
         cin1 = cfg.in_channels if d == 0 else w[d - 1]
-        if cin1 >= min_channels and w[d] >= min_channels:
+        if cin1 >= min_channels:
             out.add(f"enc{d}_conv1")
         if w[d] >= min_channels:
             out.add(f"enc{d}_conv2")
-    if w[cfg.depth - 1] >= min_channels and w[cfg.depth] >= min_channels:
+    if w[cfg.depth - 1] >= min_channels:
         out.add("bottleneck_conv1")
     if w[cfg.depth] >= min_channels:
         out.add("bottleneck_conv2")
     for d in range(cfg.depth):
-        if 2 * w[d] >= min_channels and w[d] >= min_channels:
+        if 2 * w[d] >= min_channels:
             out.add(f"dec{d}_conv1")
         if w[d] >= min_channels:
             out.add(f"dec{d}_conv2")
@@ -138,17 +143,28 @@ def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
 
 class QuantInference:
     """Mixed int8/bf16 forward with the exact UNet geometry (both skip
-    variants). `impl`: 'pallas' (fused MXU tiles) or 'xla' (int8 XLA convs —
-    the measured-slower fallback/oracle)."""
+    variants). `impl`: 'xla' (int8 lax.conv — the measured winner at every
+    serving shape, results/r2/shootout.txt) or 'pallas' (fused MXU tiles —
+    measured slower; kernel-research path/oracle). `layer_impl` overrides the
+    impl per conv name ({'dec1_conv1': 'pallas', ...}) so each layer can run
+    whichever backend measured fastest at its shape. `block_rows=None` uses
+    the measured per-shape winner config (ops/conv_tiles.best_config).
+    `upconv_impl`: 'xla' (lax.conv_transpose — measured faster at all four
+    upconv shapes) or 'matmul' (one dot + depth-to-space)."""
 
-    def __init__(self, qp: QuantParams, impl: str = "pallas",
-                 block_rows: int = 16, interpret: Optional[bool] = None):
+    def __init__(self, qp: QuantParams, impl: str = "xla",
+                 block_rows: Optional[int] = None,
+                 interpret: Optional[bool] = None,
+                 layer_impl: Optional[Dict[str, str]] = None,
+                 upconv_impl: str = "xla"):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
         self.qp = qp
         self.impl = impl
         self.block_rows = block_rows
         self.interpret = interpret
+        self.layer_impl = dict(layer_impl or {})
+        self.upconv_impl = upconv_impl
 
     # -- primitives ---------------------------------------------------------
 
@@ -183,10 +199,11 @@ class QuantInference:
         s_out = qp.scales[name]
         alpha = (s_in * s_w / s_out).astype(jnp.float32)
         beta = (bias / s_out).astype(jnp.float32)
-        if self.impl == "xla":
+        if self.layer_impl.get(name, self.impl) == "xla":
             return conv3x3_int8_xla(v, w_q, alpha, beta, out_kind="int8"), s_out
         y = conv3x3_fused(v, w_q, alpha, beta, out_kind="int8",
                           block_rows=self.block_rows,
+                          variant="auto" if self.block_rows is None else "nconcat",
                           interpret=self._interp())
         return y, s_out
 
@@ -228,11 +245,26 @@ class QuantInference:
 
         for d in reversed(range(cfg.depth)):
             k, b = qp.fconv[f"up{d}"]
-            u = jax.lax.conv_transpose(
-                self._deq(v, s), k, (2, 2), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            u = (u + b).astype(jnp.bfloat16)
+            vin = self._deq(v, s)
+            if self.upconv_impl == "matmul":
+                # overlap-free 2x2/stride-2 tconv == one MXU dot +
+                # depth-to-space (models/unet._MatmulUpconv; conv_transpose
+                # applies the kernel flipped, so flip before flattening)
+                bb_, h, wd, ci = vin.shape
+                co = k.shape[-1]
+                wr = k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(ci, 4 * co)
+                u = jnp.dot(vin.reshape(bb_ * h * wd, ci), wr,
+                            preferred_element_type=jnp.float32)
+                u = ((u.reshape(bb_, h, wd, 2, 2, co) + b)
+                     .astype(jnp.bfloat16)
+                     .transpose(0, 1, 3, 2, 4, 5)
+                     .reshape(bb_, 2 * h, 2 * wd, co))
+            else:
+                u = jax.lax.conv_transpose(
+                    vin, k, (2, 2), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                u = (u + b).astype(jnp.bfloat16)
             sk, sk_s = skips[d]
             sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
             cat = jnp.concatenate([sk, u], axis=-1)
@@ -272,13 +304,15 @@ def add_concat_scales(cfg: ModelConfig, scales: Dict[str, float]) -> Dict[str, f
 
 
 def build_quant_inference(model, params, sample_batch,
-                          min_channels: int = 128, impl: str = "pallas",
-                          block_rows: int = 16,
-                          interpret: Optional[bool] = None) -> QuantInference:
+                          min_channels: int = 128, impl: str = "xla",
+                          block_rows: Optional[int] = None,
+                          interpret: Optional[bool] = None,
+                          layer_impl: Optional[Dict[str, str]] = None,
+                          ) -> QuantInference:
     """Calibrate + quantize + build in one step."""
     cfg = model.cfg
     scales = add_concat_scales(cfg, calibrate(model, params, sample_batch))
     qnames = default_quant_names(cfg, min_channels)
     qp = prepare_quant_params(cfg, params, scales, qnames)
     return QuantInference(qp, impl=impl, block_rows=block_rows,
-                          interpret=interpret)
+                          interpret=interpret, layer_impl=layer_impl)

@@ -187,6 +187,46 @@ class _SplitConcatConv(nn.Module):
             kernel.astype(self.dtype), bias.astype(self.dtype))
 
 
+class _MatmulUpconv(nn.Module):
+    """2x2 stride-2 transposed conv as ONE MXU dot + depth-to-space.
+
+    The stride equals the kernel size, so output windows never overlap and the
+    transposed conv is exactly y[b, 2i+dy, 2j+dx, co] = x[b,i,j,:] @ k[dy,dx]
+    — a single [B*H*W, Cin] x [Cin, 4*Cout] matmul followed by a pixel
+    shuffle. Parameter tree matches nn.ConvTranspose ({kernel [2,2,Cin,Cout],
+    bias}), so checkpoints interoperate; equality is tested in
+    tests/test_model.py."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        co = self.features
+        kernel = self.param("kernel", self.kernel_init, (2, 2, cin, co),
+                            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (co,), self.param_dtype)
+        x = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        # lax.conv_transpose applies the kernel spatially flipped
+        # (y[2i+dy, 2j+dx] = x[i,j] @ k[1-dy, 1-dx]); flip here so the
+        # parameter tree stays checkpoint-compatible. Then [dy, dx, cin, co]
+        # -> [cin, dy*dx*co]: the dot's N axis carries the four output
+        # sub-pixels contiguously per channel block.
+        wr = (kernel[::-1, ::-1].astype(self.dtype)
+              .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
+        y = jnp.dot(x.reshape(b * h * w, cin), wr,
+                    preferred_element_type=jnp.float32)
+        y = (y.reshape(b, h, w, 2, 2, co)
+             + bias.astype(jnp.float32)).astype(self.dtype)
+        # [b, h, dy, w, dx, co] -> [b, 2h, 2w, co] (depth-to-space)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, co)
+
+
 class UNet(nn.Module):
     """Valid-conv U-Net. Input NHWC [B, H, W, in_channels] with H = W a valid
     input size (core.geometry); output f32 logits [B, H-ctx, W-ctx, num_classes].
@@ -239,6 +279,11 @@ class UNet(nn.Module):
                 # 1/sqrt(out_ch * k^2) (fan computed on the [in,out,k,k] weight).
                 kinit = _normal_init(2.0 / math.sqrt(fan_in * 9.0))
                 binit = _uniform_init(1.0 / math.sqrt(feat * 4.0))
+            if cfg.upconv_impl == "matmul":
+                return _MatmulUpconv(
+                    feat, name=name, kernel_init=kinit, bias_init=binit,
+                    dtype=cdt, param_dtype=pdt,
+                )(x)
             return nn.ConvTranspose(
                 feat, (2, 2), strides=(2, 2), padding="VALID", name=name,
                 kernel_init=kinit, bias_init=binit,

@@ -113,6 +113,38 @@ def _kernel(slab_ref, w_ref, a_ref, b_ref, o_ref, buf_ref, *, block_rows, wo,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+# Measured per-shape winners (results/r2/tune_int8.txt + probe5.txt, TPU v5e,
+# int8, batch 8, serving-tile geometry). Key (cin, cout) -> (variant,
+# block_rows, cout_tile). taps wins once cin >= 512 (the per-tap dot's K is
+# already MXU-deep; bott_conv2 hits 408.8 T/s = full 2x int8 rate); nconcat
+# wins at 128-256 channels (3x-wider N keeps the lanes full); the deep-K
+# im2col variants lose everywhere (VMEM copy cost dominates).
+BEST_CONFIGS = {
+    (64, 128): ("nconcat", 8, 128),
+    (128, 128): ("nconcat", 8, 128),
+    (128, 256): ("nconcat", 8, 256),
+    (256, 256): ("nconcat", 8, 256),
+    (256, 512): ("taps", 8, 256),
+    (512, 512): ("rows3", 8, 256),
+    (512, 1024): ("taps", 8, 256),
+    (1024, 1024): ("taps", 8, 256),
+    (1024, 512): ("taps", 8, 256),
+    (512, 256): ("taps", 8, 256),
+    (256, 128): ("nconcat", 16, 128),
+}
+
+
+def best_config(cin: int, cout: int) -> Tuple[str, int, int]:
+    """(variant, block_rows, cout_tile) for a 3x3 conv shape: the measured
+    winner when probed, else the channel-width heuristic the winners imply."""
+    got = BEST_CONFIGS.get((cin, cout))
+    if got is not None:
+        return got
+    variant = "taps" if cin >= 512 else "nconcat"
+    ct = cout if cout < 256 else 256
+    return (variant, 8, ct)
+
+
 def conv3x3_fused(
     x: jax.Array,
     w: jax.Array,
@@ -120,7 +152,7 @@ def conv3x3_fused(
     beta: jax.Array,
     *,
     out_kind: str = "auto",
-    block_rows: int = 16,
+    block_rows: Optional[int] = 16,
     cout_tile: Optional[int] = None,
     interpret: bool = False,
     variant: str = "nconcat",
@@ -132,10 +164,20 @@ def conv3x3_fused(
     round-clamped int8, 'bf16' stores bf16; 'auto' = int8 for int8 inputs.
     variant: 'nconcat' (3 full-M dots with dx-concatenated N), 'taps'
     (9 per-tap dots), 'rows3' (dx-im2col VMEM scratch, 3 dots with K=3*cin),
-    or 'im2col' (full im2col scratch, 1 dot with K=9*cin). Measured per shape
-    on hardware — see results/r2/.
+    'im2col' (full im2col scratch, 1 dot with K=9*cin), or 'auto' (the
+    measured per-shape winner via `best_config`; also fills any of
+    block_rows/cout_tile left as None). Measured per shape on hardware —
+    see results/r2/.
     Returns [B, H-2, W-2, Cout].
     """
+    if variant == "auto":
+        variant, auto_br, auto_ct = best_config(x.shape[-1], w.shape[-1])
+        if block_rows is None:
+            block_rows = auto_br
+        if cout_tile is None:
+            cout_tile = auto_ct
+    if block_rows is None:
+        block_rows = 16
     if out_kind == "auto":
         out_kind = "int8" if x.dtype == jnp.int8 else "bf16"
     acc_dtype = jnp.int32 if x.dtype == jnp.int8 else jnp.float32
