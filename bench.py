@@ -22,8 +22,8 @@ def log(*a):
 
 
 # Best healthy-window measurement on record for the default candidate set
-# (16x1028 bf16, split-concat decoder): update when the serving path improves.
-HEALTHY_TILES_S = 267.0
+# (16x1028 int8-xla serving path): update when the serving path improves.
+HEALTHY_TILES_S = 351.3
 HEALTHY_FRACTION = 0.8
 
 

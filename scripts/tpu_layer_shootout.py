@@ -150,6 +150,50 @@ def run_lowch(batch, rng):
             f"  bf16 {fmt(d_bf)} | int8-xla {fmt(d_xq)}")
 
 
+def run_enc0(batch, rng):
+    """Pallas configs for the wide shallow 64-channel layers — the XLA bf16
+    path runs them at only ~65-95 T/s (shootout.txt), so even a modest tile
+    kernel could win. Probes (variant x br x kind) per shape; the round-2
+    tune's enc0/dec0 attempts all failed to compile at br>=8 (VMEM), so br=4
+    is included."""
+    shapes = [
+        ("enc0_conv2", 1210, 64, 64),
+        ("dec0_conv1", 1032, 128, 64),
+        ("dec0_conv2", 1030, 64, 64),
+    ]
+    for name, s, cin, cout in shapes:
+        gf = 2 * 9 * (s - 2) ** 2 * cin * cout * batch / 1e9
+        for kind in ("int8", "bf16"):
+            if kind == "int8":
+                x = jax.random.randint(rng, (batch, s, s, cin), 0, 127,
+                                       jnp.int8)
+                w = jax.random.randint(rng, (3, 3, cin, cout), -127, 128,
+                                       jnp.int8)
+            else:
+                x = jax.random.normal(rng, (batch, s, s, cin), jnp.bfloat16)
+                w = jax.random.normal(rng, (3, 3, cin, cout),
+                                      jnp.bfloat16) * 0.05
+            al = jnp.full((cout,), 1e-4, jnp.float32)
+            be = jnp.zeros((cout,), jnp.float32)
+            best = None
+            for variant in ("nconcat", "taps"):
+                for br in (4, 8, 16):
+                    d = attempt(
+                        f"{name} {kind} {variant} br={br}",
+                        lambda xx, ww: conv3x3_fused(
+                            xx, ww, al, be, block_rows=br, cout_tile=cout,
+                            variant=variant), x, w, tries=1)
+                    if d is not None:
+                        log(f"    {name} {kind} {variant} br={br}: "
+                            f"{d*1e3:7.2f} ms {gf/d/1e3:6.1f} T/s")
+                        if best is None or d < best[0]:
+                            best = (d, variant, br)
+            if best:
+                d, variant, br = best
+                log(f"  BEST {name} {kind}: {variant} br={br} "
+                    f"{d*1e3:7.2f} ms {gf/d/1e3:6.1f} T/s")
+
+
 def main():
     global ROUNDTRIP
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
@@ -174,6 +218,11 @@ def main():
     if mode == "lowch":
         log(f"== low-channel boundary layers (batch {batch}) ==")
         run_lowch(batch, rng)
+        log("done")
+        return
+    if mode == "enc0":
+        log(f"== wide shallow 64-ch layers, Pallas configs (batch {batch}) ==")
+        run_enc0(batch, rng)
         log("done")
         return
 

@@ -266,13 +266,28 @@ class QuantInference:
                     preferred_element_type=jnp.float32)
                 u = (u + b).astype(jnp.bfloat16)
             sk, sk_s = skips[d]
-            sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
-            cat = jnp.concatenate([sk, u], axis=-1)
             name = f"dec{d}_conv1"
             if name in qp.qnames:
+                # concat in int8: rescale the int8 skip directly
+                # (round(q*sk_s/s_cat) == requantize of the dequantized value,
+                # exactly) and quantize the bf16 upconv output — the bf16
+                # concat tensor is never materialized (half the HBM traffic
+                # of dequant->concat->quantize at full resolution).
                 s_cat = qp.scales[name + ":cat"]
-                v, s = self._conv(name, quantize_activations(cat, s_cat), s_cat)
+                if sk_s is None:
+                    sk_q = quantize_activations(sk, s_cat)
+                else:
+                    ratio = jnp.float32(sk_s / s_cat)
+                    sk_q = jnp.clip(
+                        jnp.round(sk.astype(jnp.float32) * ratio),
+                        -127.0, 127.0).astype(jnp.int8)
+                sk_q = center_crop_or_pad(sk_q, u.shape[1:3])
+                cat = jnp.concatenate(
+                    [sk_q, quantize_activations(u, s_cat)], axis=-1)
+                v, s = self._conv(name, cat, s_cat)
             else:
+                sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
+                cat = jnp.concatenate([sk, u], axis=-1)
                 v, s = self._conv(name, cat, None)
             v, s = self._conv(f"dec{d}_conv2", v, s)
 
