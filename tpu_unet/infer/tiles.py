@@ -40,15 +40,21 @@ class TileInference:
 
     def __init__(self, model, image_h: int, image_w: int,
                  tile_out: Optional[int] = None, batch_tiles: int = 8,
-                 normalize: bool = True, mesh=None, mesh_axis: str = "data"):
+                 normalize: bool = True, mesh=None, mesh_axis: str = "data",
+                 apply_fn=None):
         """tile_out=None picks the whole-image single-tile plan (reference
         behaviour-parity: ``data.py:184`` mirror pad + one forward).
 
         `mesh`: a jax.sharding.Mesh — tile batches are sharded over
         `mesh_axis` so one image's overlap tiles spread across the slice
         (BASELINE config 4: tiles batched across a TPU mesh). batch_tiles is
-        rounded up to a multiple of the axis size."""
+        rounded up to a multiple of the axis size.
+
+        `apply_fn(params, tiles) -> logits` overrides the model forward for
+        the tile batches — e.g. a QuantInference int8 serving forward
+        (infer/quant.py; params already baked in are simply ignored)."""
         self.model = model
+        self.apply_fn = apply_fn
         if tile_out is None:
             tile_out = input_size_compute(max(image_h, image_w))[2]
         self.plan: TilePlan = plan_tiles(image_h, image_w, tile_out)
@@ -91,7 +97,10 @@ class TileInference:
                 tile_batch = jax.lax.with_sharding_constraint(
                     tile_batch,
                     NamedSharding(self.mesh, P(self.mesh_axis)))
-            logits = self.model.apply(params, tile_batch)
+            if self.apply_fn is not None:
+                logits = self.apply_fn(params, tile_batch)
+            else:
+                logits = self.model.apply(params, tile_batch)
             return center_crop_or_pad(logits, (p.tile_out, p.tile_out))
 
         if n_chunks == 1:
