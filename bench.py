@@ -241,10 +241,12 @@ def main():
     elif args.batch:
         candidates = [(args.batch, args.tile_out)]
     else:
-        # Larger output tiles amortize the 184-px receptive-field context
-        # (1028-out pays 1.39x FLOPs per output px, 2052-out only 1.19x);
-        # 16x1028 was round 1's best (267 tiles/s bf16).
-        candidates = [(16, 1028), (4, 2052)]
+        # Best-first: 16x1028 is the measured sweet spot (351.3 int8 / 265.2
+        # bf16). Larger tiles lose (4x2052: 239.0/188.6 — the shallow layers
+        # get more bandwidth-bound; batches 24/32 fail remote compilation;
+        # results/r2/bench_batch_sweep.log), so 8x516 is only the
+        # compile-safe fallback: each mode stops at its first success.
+        candidates = [(16, 1028), (8, 516)]
 
     # int8 post-training-quantized serving path (infer/quant.py): measured
     # +17.5% over bf16 e2e (results/r2/probe4.log: 314.8 vs 267.9 tiles/s at
@@ -264,18 +266,22 @@ def main():
     def measure_once():
         best, best_mode = 0.0, "bf16"
         for b, tout in candidates:
+            got = False
             for attempt in (1, 2):
                 try:
                     tps = bench_batch(b, tout)
                     if tps > best:
                         best, best_mode = tps, f"bf16-{b}x{tout}"
+                    got = True
                     break
                 except Exception as e:  # flaky remote-compile / OOM: retry,
                     log(f"  out={tout} batch={b} attempt {attempt} failed: "
                         f"{type(e).__name__}: {str(e)[:200]}")
-            # then fall through to the next candidate
+            if got:     # candidates are best-first; later ones are fallbacks
+                break
         if args.dtype == "bfloat16" and not args.no_int8:
             for b, tout in candidates:
+                got = False
                 for impl in args.int8_impls.split(","):
                     try:
                         tps = bench_batch(b, tout,
@@ -283,9 +289,12 @@ def main():
                                           label=f" int8-{impl}")
                         if tps > best:
                             best, best_mode = tps, f"int8-{impl}-{b}x{tout}"
+                        got = True
                     except Exception as e:
                         log(f"  int8 {impl} {b}x{tout} failed: "
                             f"{type(e).__name__}: {str(e)[:200]}")
+                if got:
+                    break
         return best, best_mode
 
     # Self-defense against degraded chip windows (the pooled chip varies up
