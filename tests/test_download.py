@@ -104,3 +104,64 @@ def test_download_error_raised_offline(tmp_path):
     with pytest.raises(download.DownloadError):
         download._fetch("http://localhost:1/nope.zip",
                         str(tmp_path / "x.zip"), timeout=2.0)
+
+
+def test_download_pretrained_gdrive_confirm_dance(tmp_path):
+    # Local stub of the Drive endpoint: the first GET answers with the
+    # virus-scan interstitial + download_warning cookie; the confirmed GET
+    # streams the checkpoint zip (reference data.py:398-452 behaviour,
+    # exercised offline).
+    import http.server
+    import io
+    import threading
+    import zipfile as zf
+    from urllib.parse import parse_qs, urlparse
+
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w") as z:
+        z.writestr("DIC-C2DH-HeLa/unet.pth", b"not-a-real-torch-file")
+    payload = buf.getvalue()
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            hits.append(q)
+            assert q.get("id") == ["FAKE_ID"]
+            if q.get("confirm") == ["tok123"]:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/zip")
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                self.send_response(200)
+                self.send_header("Set-Cookie",
+                                 "download_warning_123=tok123; Path=/")
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"<html>virus scan warning</html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/uc?export=download"
+        out = download.download_pretrained(
+            str(tmp_path / "models"), "DIC-C2DH-HeLa",
+            file_id="FAKE_ID", base_url=base)
+        assert os.path.exists(os.path.join(out, "unet.pth"))
+        assert len(hits) == 2          # interstitial + confirmed fetch
+        # idempotent: existing dir short-circuits (reference behaviour)
+        again = download.download_pretrained(
+            str(tmp_path / "models"), "DIC-C2DH-HeLa",
+            file_id="FAKE_ID", base_url=base)
+        assert again == out and len(hits) == 2
+    finally:
+        srv.shutdown()
+
+
+def test_download_pretrained_unknown_name(tmp_path):
+    with pytest.raises(download.DownloadError, match="no published"):
+        download.download_pretrained(str(tmp_path), "NoSuchDataset")

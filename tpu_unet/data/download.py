@@ -5,10 +5,11 @@ TIFFs into the reference's on-disk layout (``data/{NAME}-{training|challenge}``
 with ``0N`` image dirs and ``0N_GT/SEG`` labels), so ingest works identically
 on reference-downloaded and self-downloaded trees.
 
-Uses stdlib urllib (the reference shells out to wget); the Google-Drive
-pretrained-torch-checkpoint fetcher (``data.py:398-452``) is intentionally
-not reproduced — torch checkpoints are not loadable into this framework;
-train from scratch or convert explicitly.
+Uses stdlib urllib (the reference shells out to wget / uses requests). The
+Google-Drive pretrained-torch-checkpoint fetcher (``data.py:398-452``) has a
+counterpart in `download_pretrained` — the fetched ``.pth`` files are
+directly consumable by the CLI TESTING path, which converts torch
+checkpoints to Flax parameters on the fly (``convert.py``).
 
 Note: air-gapped environments (like the build/CI container) cannot reach
 these hosts; callers should catch `DownloadError` and fall back to
@@ -20,7 +21,7 @@ from __future__ import annotations
 
 import os
 import zipfile
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -118,7 +119,90 @@ def download_all(data_dir: str) -> None:
         download_isbi(data_dir, kind)
 
 
+# --- pretrained checkpoints (reference ``data.py:398-452``) ------------------
+
+GDRIVE_URL = "https://docs.google.com/uc?export=download"
+
+# The reference's published pretrained torch checkpoints (data.py:438-442).
+PRETRAINED_MODEL_IDS = {
+    "ISBI2012": "1tivQbiNkaQLlEN5ck5JYHyH1hczH_Kgq",
+    "DIC-C2DH-HeLa": "1Fn5_wSYEFX50orh_qYWDc2BkWjCByRmC",
+    "PhC-C2DH-U373": "1SWuBGSgQJvR2yBZpR4CSEoOQj2_pGfVI",
+}
+
+
+def fetch_gdrive(file_id: str, dest: str, *, base_url: str = GDRIVE_URL,
+                 timeout: float = 60.0) -> None:
+    """Fetch a Google-Drive file by id (reference ``data.py:398-431``): the
+    first GET may answer with a ``download_warning`` cookie instead of the
+    payload (Drive's virus-scan interstitial for large files); retry with
+    ``confirm=<token>``. Stdlib cookie-aware urllib, streamed to `dest`."""
+    import http.cookiejar
+    import urllib.request
+    from urllib.parse import urlencode
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+
+    def get(params):
+        return opener.open(f"{base_url}&{urlencode(params)}"
+                           if "?" in base_url
+                           else f"{base_url}?{urlencode(params)}",
+                           timeout=timeout)
+
+    try:
+        r = get({"id": file_id})
+        token = next((c.value for c in jar
+                      if c.name.startswith("download_warning")), None)
+        if token:
+            r.close()
+            r = get({"id": file_id, "confirm": token})
+        with r, open(dest, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except DownloadError:
+        raise
+    except Exception as e:  # pragma: no cover - network dependent
+        raise DownloadError(f"failed to fetch drive id {file_id}: {e}") from e
+
+
+def download_pretrained(models_dir: str, name: str, *,
+                        file_id: Optional[str] = None,
+                        base_url: str = GDRIVE_URL) -> str:
+    """Fetch + extract one pretrained checkpoint zip (reference
+    ``download_all_models``, ``data.py:433-452``). Skips if
+    ``{models_dir}/{name}`` already exists, like the reference. The extracted
+    ``.pth`` is directly consumable by ``cli -m TESTING -n <path>.pth``
+    (on-the-fly torch->Flax conversion, ``convert.py``)."""
+    if file_id is None:
+        try:
+            file_id = PRETRAINED_MODEL_IDS[name]
+        except KeyError:
+            raise DownloadError(
+                f"no published pretrained checkpoint for {name!r}; known: "
+                f"{sorted(PRETRAINED_MODEL_IDS)}") from None
+    os.makedirs(models_dir, exist_ok=True)
+    target = os.path.join(models_dir, name)
+    if os.path.isdir(target):
+        return target
+    zpath = os.path.join(models_dir, f"{name}.zip")
+    fetch_gdrive(file_id, zpath, base_url=base_url)
+    with zipfile.ZipFile(zpath) as z:
+        z.extractall(models_dir)
+    os.remove(zpath)
+    return target
+
+
 if __name__ == "__main__":  # runnable standalone like reference data.py:454
     import sys
 
     download_all(sys.argv[1] if len(sys.argv) > 1 else "data")
+    for _name in PRETRAINED_MODEL_IDS:
+        try:
+            download_pretrained("models", _name)
+        except DownloadError as e:
+            print(f"pretrained {_name}: {e}")
