@@ -194,6 +194,192 @@ def run_enc0(batch, rng):
                     f"{d*1e3:7.2f} ms {gf/d/1e3:6.1f} T/s")
 
 
+def run_pair0(batch, rng):
+    """Batch-pairing for the encoder level-0 convs: XLA pads 64-channel convs
+    to the 128-lane tile (enc0_conv2 measures exactly 4x enc1_conv2's
+    128-channel time = pure padded cost), so folding TWO batch images into
+    the channel dim makes the padding useful — half the padded FLOPs. The
+    block-diagonal kernel keeps the images independent (zeros off-diagonal).
+    Measures plain vs paired enc0 pipelines end-to-end (conv1 1->64, conv2
+    64->64, pool), including the pair/unpair transposes."""
+    s = 1212
+    x = jax.random.uniform(rng, (batch, s, s, 1), jnp.float32)
+    k1 = jax.random.normal(rng, (3, 3, 1, 64), jnp.bfloat16) * 0.2
+    k2 = jax.random.normal(rng, (3, 3, 64, 64), jnp.bfloat16) * 0.05
+    b1 = jnp.zeros((64,), jnp.float32)
+    b2 = jnp.zeros((64,), jnp.float32)
+
+    def convr(v, k, b):
+        dn = lax.conv_dimension_numbers(v.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(v, k, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+        return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
+
+    def pool(v):
+        return lax.reduce_window(v, -jnp.inf if v.dtype != jnp.int8 else
+                                 jnp.int8(-128), lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def plain(x, k1):
+        v = convr(x.astype(jnp.bfloat16), k1, b1)
+        v = convr(v, k2, b2)
+        return pool(v)
+
+    # block-diagonal paired kernels, built once (weights are tiny)
+    z = jnp.zeros_like(k1)
+    k1p = jnp.concatenate([jnp.concatenate([k1, z], -1),
+                           jnp.concatenate([z, k1], -1)], -2)  # [3,3,2,128]
+    z2 = jnp.zeros_like(k2)
+    k2p = jnp.concatenate([jnp.concatenate([k2, z2], -1),
+                           jnp.concatenate([z2, k2], -1)], -2)  # [3,3,128,128]
+    b1p = jnp.concatenate([b1, b1])
+    b2p = jnp.concatenate([b2, b2])
+
+    def paired(x, k1):
+        bsz = x.shape[0]
+        xp = x.reshape(bsz // 2, 2, s, s, 1).transpose(0, 2, 3, 1, 4)
+        xp = xp.reshape(bsz // 2, s, s, 2)
+        zk = jnp.zeros_like(k1)
+        k1p_ = jnp.concatenate([jnp.concatenate([k1, zk], -1),
+                                jnp.concatenate([zk, k1], -1)], -2)
+        v = convr(xp.astype(jnp.bfloat16), k1p_, b1p)
+        v = convr(v, k2p, b2p)
+        v = pool(v)                                   # [B/2, 604, 604, 128]
+        h = v.shape[1]
+        v = v.reshape(bsz // 2, h, h, 2, 64).transpose(0, 3, 1, 2, 4)
+        return v.reshape(bsz, h, h, 64)
+
+    d1 = attempt("enc0 plain", plain, x, k1)
+    d2 = attempt("enc0 paired", paired, x, k1)
+    fmt = lambda d: f"{d*1e3:8.2f} ms" if d else "FAILED"
+    log(f"  enc0 level (conv1+conv2+pool+unpair, batch {batch}): "
+        f"plain {fmt(d1)}  paired-blockdiag {fmt(d2)}")
+
+    # decoder-side candidate: dec0_conv2 (64->64 at 1030^2) alone with
+    # pair/unpair transposes around it
+    s2 = 1030
+    y0 = jax.random.normal(rng, (batch, s2, s2, 64), jnp.bfloat16)
+
+    def plain_d(v, k2):
+        return convr(v, k2, b2)
+
+    def paired_d(v, k2):
+        bsz = v.shape[0]
+        zk = jnp.zeros_like(k2)
+        kp = jnp.concatenate([jnp.concatenate([k2, zk], -1),
+                              jnp.concatenate([zk, k2], -1)], -2)
+        vp = v.reshape(bsz // 2, 2, s2, s2, 64).transpose(0, 2, 3, 1, 4)
+        vp = vp.reshape(bsz // 2, s2, s2, 128)
+        o = convr(vp, kp, jnp.concatenate([b2, b2]))
+        h = o.shape[1]
+        o = o.reshape(bsz // 2, h, h, 2, 64).transpose(0, 3, 1, 2, 4)
+        return o.reshape(bsz, h, h, 64)
+
+    d3 = attempt("dec0_conv2 plain", plain_d, y0, k2)
+    d4 = attempt("dec0_conv2 paired", paired_d, y0, k2)
+    log(f"  dec0_conv2 (batch {batch}): plain {fmt(d3)}  "
+        f"paired+transposes {fmt(d4)}")
+
+
+def run_pairq(batch, rng):
+    """Does pairing also pay for the int8 128-channel layers? int8 per-layer
+    rates rise with cin (245 T/s at 128 -> ~500 at 512, shootout.txt): if
+    that's K-padding waste, a block-diagonal paired conv at (B/2, 2cin)
+    should cost the same wall time as the unpaired one (halving effective
+    cost); if it's pipeline depth, paired costs ~2x."""
+    shapes = [("enc1_conv2", 602, 128, 128), ("dec1_conv1", 520, 256, 128)]
+    for name, s, cin, cout in shapes:
+        xi = jax.random.randint(rng, (batch, s, s, cin), 0, 127, jnp.int8)
+        wi = jax.random.randint(rng, (3, 3, cin, cout), -127, 128, jnp.int8)
+        al = jnp.full((cout,), 1e-4, jnp.float32)
+        be = jnp.zeros((cout,), jnp.float32)
+
+        def plain(x, w):
+            return conv3x3_int8_xla(x, w, al, be, out_kind="int8")
+
+        def paired(x, w):
+            bsz = x.shape[0]
+            xp = jnp.concatenate([x[:bsz // 2], x[bsz // 2:]], axis=-1)
+            z = jnp.zeros_like(w)
+            wp = jnp.concatenate([jnp.concatenate([w, z], -1),
+                                  jnp.concatenate([z, w], -1)], -2)
+            y = conv3x3_int8_xla(xp, wp, jnp.concatenate([al, al]),
+                                 jnp.concatenate([be, be]), out_kind="int8")
+            return jnp.concatenate([y[..., :cout], y[..., cout:]], axis=0)
+
+        d1 = attempt(f"{name} int8 plain", plain, xi, wi)
+        d2 = attempt(f"{name} int8 paired", paired, xi, wi)
+        fmt = lambda d: f"{d*1e3:8.2f} ms" if d else "FAILED"
+        log(f"  {name} {s}^2 {cin}->{cout} int8 (batch {batch}): "
+            f"plain {fmt(d1)}  paired+concats {fmt(d2)}")
+
+
+def run_pair0c(batch, rng):
+    """Component costs of the level-0 pairing (bench_run2 measured the
+    integrated form 13% SLOWER e2e): isolate each pair/unpair data movement
+    and each paired-vs-plain conv so the losing step is identified."""
+    s = 1212
+    x = jax.random.uniform(rng, (batch, s, s, 1), jnp.float32)
+    xp = jnp.concatenate([x[:batch // 2], x[batch // 2:]], axis=-1)
+    v604 = jax.random.normal(rng, (batch // 2, 604, 604, 128), jnp.bfloat16)
+    v1032 = jax.random.normal(rng, (batch // 2, 1032, 1032, 128), jnp.bfloat16)
+    u64 = jax.random.normal(rng, (batch, 1032, 1032, 64), jnp.bfloat16)
+    k1 = jax.random.normal(rng, (3, 3, 1, 64), jnp.bfloat16) * 0.2
+    k2 = jax.random.normal(rng, (3, 3, 64, 64), jnp.bfloat16) * 0.05
+    b64 = jnp.zeros((64,), jnp.float32)
+
+    def convr(v, k, b):
+        dn = lax.conv_dimension_numbers(v.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(v, k, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+        return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
+
+    def bd(k):
+        z = jnp.zeros_like(k)
+        return jnp.concatenate([jnp.concatenate([k, z], -1),
+                                jnp.concatenate([z, k], -1)], -2)
+
+    cases = [
+        ("pair input f32 1ch", lambda a, _:
+            jnp.concatenate([a[:batch // 2], a[batch // 2:]], -1), x, k1),
+        ("conv1 plain 1->64", lambda a, k: convr(a.astype(jnp.bfloat16), k,
+                                                 b64), x, k1),
+        ("conv1 paired 2->128", lambda a, k:
+            convr(a.astype(jnp.bfloat16), bd(k),
+                  jnp.concatenate([b64, b64])), xp, k1),
+        ("unpair 604^2x128", lambda a, _:
+            jnp.concatenate([a[..., :64], a[..., 64:]], 0) * 1.0, v604, k1),
+        ("unpair 1032^2x128", lambda a, _:
+            jnp.concatenate([a[..., :64], a[..., 64:]], 0) * 1.0, v1032, k1),
+        ("pair u 1032^2x64", lambda a, _:
+            jnp.concatenate([a[:batch // 2], a[batch // 2:]], -1) * 1.0,
+            u64, k1),
+        ("cat4 interleave+quant", lambda a, _:
+            jnp.clip(jnp.round(jnp.concatenate(
+                [v1032[..., :64], a[:batch // 2],
+                 v1032[..., 64:], a[batch // 2:]],
+                -1).astype(jnp.float32) * 8.0), -127, 127).astype(jnp.int8),
+            u64, k1),
+    ]
+    for name, fn, a, k in cases:
+        d = attempt(name, fn, a, k)
+        log(f"  {name:24s}: {d*1e3:8.2f} ms" if d else f"  {name}: FAILED")
+
+    s2 = 1210
+    y64 = jax.random.normal(rng, (batch, s2, s2, 64), jnp.bfloat16)
+    y128 = jax.random.normal(rng, (batch // 2, s2, s2, 128), jnp.bfloat16)
+    d1 = attempt("conv2 plain 64->64", lambda a, k: convr(a, k, b64), y64, k2)
+    d2 = attempt("conv2 paired 128bd",
+                 lambda a, k: convr(a, bd(k), jnp.concatenate([b64, b64])),
+                 y128, k2)
+    fmt = lambda d: f"{d*1e3:8.2f} ms" if d else "FAILED"
+    log(f"  conv2 plain {fmt(d1)}  paired {fmt(d2)}")
+
+
 def main():
     global ROUNDTRIP
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
@@ -223,6 +409,21 @@ def main():
     if mode == "enc0":
         log(f"== wide shallow 64-ch layers, Pallas configs (batch {batch}) ==")
         run_enc0(batch, rng)
+        log("done")
+        return
+    if mode == "pair0":
+        log(f"== level-0 batch pairing (batch {batch}) ==")
+        run_pair0(batch, rng)
+        log("done")
+        return
+    if mode == "pairq":
+        log(f"== int8 128-ch pairing probe (batch {batch}) ==")
+        run_pairq(batch, rng)
+        log("done")
+        return
+    if mode == "pair0c":
+        log(f"== level-0 pairing component costs (batch {batch}) ==")
+        run_pair0c(batch, rng)
         log("done")
         return
 

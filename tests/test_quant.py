@@ -122,3 +122,24 @@ def test_quant_pallas_matches_xla_impl(trained_tiny):
     # identical integer conv math; only f32 scale/concat ops may reorder
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pair_level0_matches_unpaired(trained_tiny):
+    # Level-0 batch pairing (block-diagonal kernels over channel-concatenated
+    # batch halves) is exact: same partial products plus structural zeros.
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              default_quant_names(model.cfg, 16))
+    x = jnp.asarray(np.pad(imgs[:4], ((0, 0), (70, 70), (70, 70)),
+                           mode="reflect"))[..., None]
+    y_p = QuantInference(qp, pair_level0=True).apply(x)
+    y_u = QuantInference(qp, pair_level0=False).apply(x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_u),
+                               rtol=1e-4, atol=1e-4)
+    # odd batch falls back to the unpaired path
+    y_odd = QuantInference(qp, pair_level0=True).apply(x[:3])
+    np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y_u)[:3],
+                               rtol=1e-4, atol=1e-4)

@@ -156,7 +156,8 @@ class QuantInference:
                  block_rows: Optional[int] = None,
                  interpret: Optional[bool] = None,
                  layer_impl: Optional[Dict[str, str]] = None,
-                 upconv_impl: str = "xla"):
+                 upconv_impl: str = "xla",
+                 pair_level0: bool = False):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
         self.qp = qp
@@ -165,6 +166,15 @@ class QuantInference:
         self.interpret = interpret
         self.layer_impl = dict(layer_impl or {})
         self.upconv_impl = upconv_impl
+        # XLA pads <128-channel convs to the 128-lane tile (a 64->64 conv
+        # measures exactly the 128->128 cost, results/r2/shootout.txt), so
+        # level 0 can fold TWO batch images into the channel dim with
+        # block-diagonal kernels — half the padded conv FLOPs. Measured
+        # END-TO-END SLOWER as integrated (304 vs 351 tiles/s,
+        # results/r2/bench_run2.json): the pair/unpair channel interleaves
+        # cost more than the conv savings at serving shapes. Kept off by
+        # default as a documented, tested, measured-negative option.
+        self.pair_level0 = pair_level0
 
     # -- primitives ---------------------------------------------------------
 
@@ -178,8 +188,19 @@ class QuantInference:
             return v
         return v.astype(jnp.bfloat16) * jnp.bfloat16(s)
 
-    def _conv_f(self, name: str, v: jax.Array) -> jax.Array:
+    @staticmethod
+    def _blockdiag(k: jax.Array) -> jax.Array:
+        """[kh, kw, ci, co] -> [kh, kw, 2ci, 2co] with k on the diagonal:
+        a conv of the channel-paired tensor that keeps images independent."""
+        z = jnp.zeros_like(k)
+        return jnp.concatenate([jnp.concatenate([k, z], -1),
+                                jnp.concatenate([z, k], -1)], -2)
+
+    def _conv_f(self, name: str, v: jax.Array, paired: bool = False) -> jax.Array:
         k, b = self.qp.fconv[name]
+        if paired:
+            k = self._blockdiag(k)
+            b = jnp.concatenate([b, b])
         dn = jax.lax.conv_dimension_numbers(v.shape, k.shape,
                                             ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
@@ -187,11 +208,13 @@ class QuantInference:
             preferred_element_type=jnp.float32)
         return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
 
-    def _conv(self, name: str, v, s_in):
-        """One 3x3 conv + ReLU. (v, s_in) -> (v, s_out); s None = float."""
+    def _conv(self, name: str, v, s_in, paired: bool = False):
+        """One 3x3 conv + ReLU. (v, s_in) -> (v, s_out); s None = float.
+        `paired`: v carries two batch images channel-concatenated; the kernel
+        is lifted to its block-diagonal form."""
         qp = self.qp
         if name not in qp.qnames:
-            return self._conv_f(name, self._deq(v, s_in)), None
+            return self._conv_f(name, self._deq(v, s_in), paired=paired), None
         if s_in is None:
             s_in = qp.scales[self._input_scale_key(name)]
             v = quantize_activations(v, s_in)
@@ -199,6 +222,10 @@ class QuantInference:
         s_out = qp.scales[name]
         alpha = (s_in * s_w / s_out).astype(jnp.float32)
         beta = (bias / s_out).astype(jnp.float32)
+        if paired:
+            w_q = self._blockdiag(w_q)
+            alpha = jnp.concatenate([alpha, alpha])
+            beta = jnp.concatenate([beta, beta])
         if self.layer_impl.get(name, self.impl) == "xla":
             return conv3x3_int8_xla(v, w_q, alpha, beta, out_kind="int8"), s_out
         y = conv3x3_fused(v, w_q, alpha, beta, out_kind="int8",
@@ -227,17 +254,45 @@ class QuantInference:
         """x [B, H, W, 1] f32 (normalized) -> f32 logits, UNet geometry."""
         cfg = self.qp.cfg
         qp = self.qp
+        bsz = x.shape[0]
+        pair0 = (self.pair_level0 and bsz % 2 == 0 and bsz > 1
+                 and "enc0_conv1" not in qp.qnames
+                 and "enc0_conv2" not in qp.qnames)
+
+        def pair(t):     # [B, H, W, C] -> [B/2, H, W, 2C]: image i with i+B/2
+            return jnp.concatenate([t[:bsz // 2], t[bsz // 2:]], axis=-1)
+
+        def unpair(t):
+            c = t.shape[-1] // 2
+            return jnp.concatenate([t[..., :c], t[..., c:]], axis=0)
+
+        def maxpool(t):
+            return jax.lax.reduce_window(
+                t, _min_value(t.dtype), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
         v, s = x.astype(jnp.bfloat16), None
         skips = []
+        paired_skip = None
         for d in range(cfg.depth):
+            if d == 0 and pair0:
+                vp = pair(v)
+                vp = self._conv_f("enc0_conv1", vp, paired=True)
+                vp = self._conv_f("enc0_conv2", vp, paired=True)
+                if cfg.skip_variant == "paper":
+                    paired_skip = vp
+                vp = maxpool(vp)
+                if cfg.skip_variant == "parity":
+                    paired_skip = vp
+                skips.append((None, None))  # dec0 reads paired_skip instead
+                v, s = unpair(vp), None
+                continue
             v, s = self._conv(f"enc{d}_conv1", v, s)
             v, s = self._conv(f"enc{d}_conv2", v, s)
             if cfg.skip_variant == "paper":
                 skips.append((v, s))
             # max-pool is order-preserving: valid on int8 at the same scale
-            v = jax.lax.reduce_window(
-                v, _min_value(v.dtype), jax.lax.max,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            v = maxpool(v)
             if cfg.skip_variant == "parity":
                 skips.append((v, s))
         v, s = self._conv("bottleneck_conv1", v, s)
@@ -267,6 +322,34 @@ class QuantInference:
                 u = (u + b).astype(jnp.bfloat16)
             sk, sk_s = skips[d]
             name = f"dec{d}_conv1"
+            if d == 0 and paired_skip is not None:
+                # Paired tail: pair the upconv output (cheap batch-half
+                # channel concat), interleave with the paired skip to the
+                # per-image [skip | up] layout, and run dec0 + head with
+                # block-diagonal kernels; unpair only the tiny logits.
+                cw = cfg.widths[0]
+                up_p = pair(u)
+                skp = center_crop_or_pad(paired_skip, u.shape[1:3])
+                cat_p = jnp.concatenate(
+                    [skp[..., :cw], up_p[..., :cw],
+                     skp[..., cw:], up_p[..., cw:]], axis=-1)
+                if name in qp.qnames:
+                    s_cat = qp.scales[name + ":cat"]
+                    v, s = self._conv(name,
+                                      quantize_activations(cat_p, s_cat),
+                                      s_cat, paired=True)
+                else:
+                    v, s = self._conv(name, cat_p, None, paired=True)
+                v, s = self._conv("dec0_conv2", v, s, paired=True)
+                v = self._deq(v, s)
+                k, b = qp.fconv["head"]
+                y = jax.lax.conv_general_dilated(
+                    v, self._blockdiag(k), (1, 1), "VALID",
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        v.shape, self._blockdiag(k).shape,
+                        ("NHWC", "HWIO", "NHWC")),
+                    preferred_element_type=jnp.float32)
+                return unpair(y + jnp.concatenate([b, b]))
             if name in qp.qnames:
                 # concat in int8: rescale the int8 skip directly
                 # (round(q*sk_s/s_cat) == requantize of the dequantized value,
