@@ -133,6 +133,8 @@ def main():
     ap.add_argument("--int8-impls", default="xla",
                     help='comma list of quant conv impls to bench ("xla",'
                          ' "pallas")')
+    ap.add_argument("--pair0", action="store_true",
+                    help="enable level-0 batch pairing in the int8 path")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -261,6 +263,7 @@ def main():
                                    jnp.float32)
         qi = build_quant_inference(model, params, calib, impl=impl,
                                    min_channels=128, interpret=False)
+        qi.pair_level0 = args.pair0
         return qi.apply
 
     def measure_once():

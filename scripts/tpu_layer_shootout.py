@@ -358,12 +358,12 @@ def run_pair0c(batch, rng):
         ("pair u 1032^2x64", lambda a, _:
             jnp.concatenate([a[:batch // 2], a[batch // 2:]], -1) * 1.0,
             u64, k1),
-        ("cat4 interleave+quant", lambda a, _:
+        ("cat4 interleave+quant", lambda a, v:
             jnp.clip(jnp.round(jnp.concatenate(
-                [v1032[..., :64], a[:batch // 2],
-                 v1032[..., 64:], a[batch // 2:]],
+                [v[..., :64], a[:batch // 2],
+                 v[..., 64:], a[batch // 2:]],
                 -1).astype(jnp.float32) * 8.0), -127, 127).astype(jnp.int8),
-            u64, k1),
+            u64, v1032),
     ]
     for name, fn, a, k in cases:
         d = attempt(name, fn, a, k)
@@ -378,6 +378,39 @@ def run_pair0c(batch, rng):
                  y128, k2)
     fmt = lambda d: f"{d*1e3:8.2f} ms" if d else "FAILED"
     log(f"  conv2 plain {fmt(d1)}  paired {fmt(d2)}")
+
+
+def run_pairk(batch, rng):
+    """Pallas pair/unpair/interleave kernels (ops/interleave.py) vs the XLA
+    concat formulation, at the serving shapes where XLA measured 4-10x off
+    bandwidth (shootout_pair0c.txt)."""
+    from tpu_unet.ops.interleave import (
+        interleave_pairs, pair_batch_channels, unpair_batch_channels)
+
+    v604 = jax.random.normal(rng, (batch // 2, 604, 604, 128), jnp.bfloat16)
+    v1032 = jax.random.normal(rng, (batch // 2, 1032, 1032, 128),
+                              jnp.bfloat16)
+    u64 = jax.random.normal(rng, (batch, 1032, 1032, 64), jnp.bfloat16)
+
+    cases = [
+        ("unpair 604^2x128 xla", lambda a, _:
+            jnp.concatenate([a[..., :64], a[..., 64:]], 0) * 1.0, v604),
+        ("unpair 604^2x128 pallas", lambda a, _:
+            unpair_batch_channels(a) * 1.0, v604),
+        ("unpair 1032^2x128 xla", lambda a, _:
+            jnp.concatenate([a[..., :64], a[..., 64:]], 0) * 1.0, v1032),
+        ("unpair 1032^2x128 pallas", lambda a, _:
+            unpair_batch_channels(a) * 1.0, v1032),
+        ("pair u 1032^2x64 xla", lambda a, _:
+            jnp.concatenate([a[:batch // 2], a[batch // 2:]], -1) * 1.0, u64),
+        ("pair u 1032^2x64 pallas", lambda a, _:
+            pair_batch_channels(a) * 1.0, u64),
+        ("interleave 1032^2 pallas", lambda a, v:
+            interleave_pairs(v, pair_batch_channels(a)) * 1.0, u64),
+    ]
+    for name, fn, a in cases:
+        d = attempt(name, fn, a, v1032)
+        log(f"  {name:26s}: {d*1e3:8.2f} ms" if d else f"  {name}: FAILED")
 
 
 def main():

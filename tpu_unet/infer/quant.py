@@ -259,12 +259,26 @@ class QuantInference:
                  and "enc0_conv1" not in qp.qnames
                  and "enc0_conv2" not in qp.qnames)
 
+        # Pair/unpair via the Pallas copy kernels (ops/interleave.py): XLA's
+        # channel-slice/batch-concat emitters measured 4-10x off bandwidth
+        # at these shapes (results/r2/shootout_pair0c.txt). The 1-channel
+        # input and 2-channel logits stay on jnp.concatenate (tiny tensors,
+        # lane-width-1 Pallas blocks would be worse).
+        from tpu_unet.ops.interleave import (
+            interleave_pairs, pair_batch_channels, unpair_batch_channels)
+
+        interp = self._interp()
+
         def pair(t):     # [B, H, W, C] -> [B/2, H, W, 2C]: image i with i+B/2
-            return jnp.concatenate([t[:bsz // 2], t[bsz // 2:]], axis=-1)
+            if t.shape[-1] < 8:
+                return jnp.concatenate([t[:bsz // 2], t[bsz // 2:]], axis=-1)
+            return pair_batch_channels(t, interpret=interp)
 
         def unpair(t):
             c = t.shape[-1] // 2
-            return jnp.concatenate([t[..., :c], t[..., c:]], axis=0)
+            if c < 8:
+                return jnp.concatenate([t[..., :c], t[..., c:]], axis=0)
+            return unpair_batch_channels(t, interpret=interp)
 
         def maxpool(t):
             return jax.lax.reduce_window(
@@ -327,18 +341,18 @@ class QuantInference:
                 # channel concat), interleave with the paired skip to the
                 # per-image [skip | up] layout, and run dec0 + head with
                 # block-diagonal kernels; unpair only the tiny logits.
-                cw = cfg.widths[0]
-                up_p = pair(u)
                 skp = center_crop_or_pad(paired_skip, u.shape[1:3])
-                cat_p = jnp.concatenate(
-                    [skp[..., :cw], up_p[..., :cw],
-                     skp[..., cw:], up_p[..., cw:]], axis=-1)
                 if name in qp.qnames:
+                    # quantize BEFORE interleaving: the big concat then
+                    # moves int8, half the bytes of a bf16 concat + quantize
                     s_cat = qp.scales[name + ":cat"]
-                    v, s = self._conv(name,
-                                      quantize_activations(cat_p, s_cat),
-                                      s_cat, paired=True)
+                    cat_p = interleave_pairs(
+                        quantize_activations(skp, s_cat),
+                        pair(quantize_activations(u, s_cat)),
+                        interpret=interp)
+                    v, s = self._conv(name, cat_p, s_cat, paired=True)
                 else:
+                    cat_p = interleave_pairs(skp, pair(u), interpret=interp)
                     v, s = self._conv(name, cat_p, None, paired=True)
                 v, s = self._conv("dec0_conv2", v, s, paired=True)
                 v = self._deq(v, s)
