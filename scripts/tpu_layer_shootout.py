@@ -459,6 +459,11 @@ def main():
         run_pair0c(batch, rng)
         log("done")
         return
+    if mode == "pairk":
+        log(f"== Pallas pair/unpair/interleave kernels (batch {batch}) ==")
+        run_pairk(batch, rng)
+        log("done")
+        return
 
     # --- MXU contraction-depth probe: chained square dots ------------------
     log("== MXU depth probe: chained dot [4096,c]@[c,c] x64 ==")
