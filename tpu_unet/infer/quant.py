@@ -250,8 +250,14 @@ class QuantInference:
 
     # -- forward ------------------------------------------------------------
 
-    def apply(self, x: jax.Array) -> jax.Array:
-        """x [B, H, W, 1] f32 (normalized) -> f32 logits, UNet geometry."""
+    def apply(self, x: jax.Array, stop_after: Optional[str] = None) -> jax.Array:
+        """x [B, H, W, 1] f32 (normalized) -> f32 logits, UNet geometry.
+
+        `stop_after`: return the intermediate tensor right after the named
+        stage ('enc{d}_conv{i}', 'pool{d}', 'bottleneck_conv{i}', 'up{d}',
+        'dec{d}_conv{i}') — cumulative-cutoff stage profiling on backends
+        where only wall-clock-to-readback can be timed
+        (scripts/tpu_stage_profile.py)."""
         cfg = self.qp.cfg
         qp = self.qp
         bsz = x.shape[0]
@@ -285,6 +291,9 @@ class QuantInference:
                 t, _min_value(t.dtype), jax.lax.max,
                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
+        def cut(name, t):
+            return stop_after is not None and name == stop_after
+
         v, s = x.astype(jnp.bfloat16), None
         skips = []
         paired_skip = None
@@ -292,7 +301,11 @@ class QuantInference:
             if d == 0 and pair0:
                 vp = pair(v)
                 vp = self._conv_f("enc0_conv1", vp, paired=True)
+                if cut("enc0_conv1", vp):
+                    return vp
                 vp = self._conv_f("enc0_conv2", vp, paired=True)
+                if cut("enc0_conv2", vp):
+                    return vp
                 if cfg.skip_variant == "paper":
                     paired_skip = vp
                 vp = maxpool(vp)
@@ -300,17 +313,29 @@ class QuantInference:
                     paired_skip = vp
                 skips.append((None, None))  # dec0 reads paired_skip instead
                 v, s = unpair(vp), None
+                if cut("pool0", v):
+                    return v
                 continue
             v, s = self._conv(f"enc{d}_conv1", v, s)
+            if cut(f"enc{d}_conv1", v):
+                return v
             v, s = self._conv(f"enc{d}_conv2", v, s)
+            if cut(f"enc{d}_conv2", v):
+                return v
             if cfg.skip_variant == "paper":
                 skips.append((v, s))
             # max-pool is order-preserving: valid on int8 at the same scale
             v = maxpool(v)
             if cfg.skip_variant == "parity":
                 skips.append((v, s))
+            if cut(f"pool{d}", v):
+                return v
         v, s = self._conv("bottleneck_conv1", v, s)
+        if cut("bottleneck_conv1", v):
+            return v
         v, s = self._conv("bottleneck_conv2", v, s)
+        if cut("bottleneck_conv2", v):
+            return v
 
         for d in reversed(range(cfg.depth)):
             k, b = qp.fconv[f"up{d}"]
@@ -334,6 +359,8 @@ class QuantInference:
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.float32)
                 u = (u + b).astype(jnp.bfloat16)
+            if cut(f"up{d}", u):
+                return u
             sk, sk_s = skips[d]
             name = f"dec{d}_conv1"
             if d == 0 and paired_skip is not None:
@@ -354,7 +381,11 @@ class QuantInference:
                 else:
                     cat_p = interleave_pairs(skp, pair(u), interpret=interp)
                     v, s = self._conv(name, cat_p, None, paired=True)
+                if cut("dec0_conv1", v):
+                    return v
                 v, s = self._conv("dec0_conv2", v, s, paired=True)
+                if cut("dec0_conv2", v):
+                    return v
                 v = self._deq(v, s)
                 k, b = qp.fconv["head"]
                 y = jax.lax.conv_general_dilated(
@@ -386,7 +417,11 @@ class QuantInference:
                 sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
                 cat = jnp.concatenate([sk, u], axis=-1)
                 v, s = self._conv(name, cat, None)
+            if cut(name, v):
+                return v
             v, s = self._conv(f"dec{d}_conv2", v, s)
+            if cut(f"dec{d}_conv2", v):
+                return v
 
         v = self._deq(v, s)
         k, b = qp.fconv["head"]

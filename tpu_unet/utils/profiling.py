@@ -52,3 +52,71 @@ class StepTimer:
 
     def best(self) -> float:
         return float(np.min(self.times)) if self.times else float("nan")
+
+
+# -- readback-based timing for the tunnel TPU backend -------------------------
+
+_ROUNDTRIP: Optional[float] = None
+
+
+def measure_roundtrip(n: int = 6) -> float:
+    """Median host<->device scalar readback latency (the axon tunnel's ~30 ms;
+    `block_until_ready` is a no-op there, so all timing is readback-based)."""
+    global _ROUNDTRIP
+    import jax.numpy as jnp
+
+    @jax.jit
+    def noop(x):
+        return x + 1
+
+    float(noop(jnp.int32(0)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(noop(jnp.int32(0)))
+    _ROUNDTRIP = (time.perf_counter() - t0) / n
+    return _ROUNDTRIP
+
+
+def timeit_readback(fn, *args, n: int = 3, reps: int = 6,
+                    min_work_s: float = 0.3) -> float:
+    """Median seconds per `fn(*args)` call on the tunnel backend: runs `reps`
+    dependency-chained calls inside one jit, forces a scalar readback,
+    subtracts the measured roundtrip. Adaptive: re-jits with more reps until
+    the measured work dominates the roundtrip (short probes are noise —
+    results/r2/README.md)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    if _ROUNDTRIP is None:
+        measure_roundtrip()
+    rt = _ROUNDTRIP
+
+    def make(reps):
+        @jax.jit
+        def run(*a):
+            def body(c, _):
+                aa = list(a)
+                aa[0] = (aa[0] + c.astype(aa[0].dtype)) \
+                    if aa[0].dtype == jnp.int8 \
+                    else aa[0] + (c * 1e-30).astype(aa[0].dtype)
+                y = fn(*aa)
+                return jnp.sum(y.astype(jnp.float32)) * 1e-30, None
+            s, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
+            return s
+        return run
+
+    run = make(reps)
+    float(run(*args))
+    t0 = time.perf_counter()
+    float(run(*args))
+    est = (time.perf_counter() - t0 - rt) / reps
+    if est * reps < min_work_s:
+        reps = min(512, max(reps, int(np.ceil(min_work_s / max(est, 1e-6)))))
+        run = make(reps)
+        float(run(*args))
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(run(*args))
+        times.append((time.perf_counter() - t0 - rt) / reps)
+    return float(np.median(times))
