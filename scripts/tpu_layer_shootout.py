@@ -413,6 +413,32 @@ def run_pairk(batch, rng):
         log(f"  {name:26s}: {d*1e3:8.2f} ms" if d else f"  {name}: FAILED")
 
 
+def run_pool(batch, rng):
+    """pool0 (2x2/stride-2 max on [B,1208,1208,64] bf16) measured 6.1 ms in
+    the stage profile — 4x off bandwidth. reduce_window vs 4-slice max vs
+    reshape-max formulations."""
+    x = jax.random.normal(rng, (batch, 1208, 1208, 64), jnp.bfloat16)
+
+    def rw(v, _):
+        return lax.reduce_window(v, -jnp.inf, lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def slices(v, _):
+        a = jnp.maximum(v[:, ::2, ::2], v[:, 1::2, ::2])
+        b = jnp.maximum(v[:, ::2, 1::2], v[:, 1::2, 1::2])
+        return jnp.maximum(a, b)
+
+    def reshaped(v, _):
+        bsz, h, w, c = v.shape
+        v = v.reshape(bsz, h // 2, 2, w // 2, 2, c)
+        return v.max(axis=(2, 4))
+
+    for name, fn in (("reduce_window", rw), ("4-slice max", slices),
+                     ("reshape max", reshaped)):
+        d = attempt(name, fn, x, None)
+        log(f"  {name:16s}: {d*1e3:8.2f} ms" if d else f"  {name}: FAILED")
+
+
 def main():
     global ROUNDTRIP
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
@@ -462,6 +488,11 @@ def main():
     if mode == "pairk":
         log(f"== Pallas pair/unpair/interleave kernels (batch {batch}) ==")
         run_pairk(batch, rng)
+        log("done")
+        return
+    if mode == "pool":
+        log(f"== pool0 formulations (batch {batch}) ==")
+        run_pool(batch, rng)
         log("done")
         return
 

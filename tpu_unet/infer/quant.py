@@ -294,6 +294,18 @@ class QuantInference:
         def cut(name, t):
             return stop_after is not None and name == stop_after
 
+        def capture_skip(d, v, s):
+            """Float skips feeding a quantized dec conv are stored int8 at
+            the concat scale right away: the quantize sits next to its
+            producer (fusable), the held tensor is half the bytes, and the
+            dec-side requant becomes an identity (same scale).
+            quantize(crop(x)) == crop(quantize(x)) — elementwise."""
+            key = f"dec{d}_conv1:cat"
+            if s is None and f"dec{d}_conv1" in qp.qnames and key in qp.scales:
+                s_cat = qp.scales[key]
+                return quantize_activations(v, s_cat), s_cat
+            return v, s
+
         v, s = x.astype(jnp.bfloat16), None
         skips = []
         paired_skip = None
@@ -323,11 +335,11 @@ class QuantInference:
             if cut(f"enc{d}_conv2", v):
                 return v
             if cfg.skip_variant == "paper":
-                skips.append((v, s))
+                skips.append(capture_skip(d, v, s))
             # max-pool is order-preserving: valid on int8 at the same scale
             v = maxpool(v)
             if cfg.skip_variant == "parity":
-                skips.append((v, s))
+                skips.append(capture_skip(d, v, s))
             if cut(f"pool{d}", v):
                 return v
         v, s = self._conv("bottleneck_conv1", v, s)
@@ -404,6 +416,8 @@ class QuantInference:
                 s_cat = qp.scales[name + ":cat"]
                 if sk_s is None:
                     sk_q = quantize_activations(sk, s_cat)
+                elif sk_s == s_cat:
+                    sk_q = sk          # captured at the concat scale already
                 else:
                     ratio = jnp.float32(sk_s / s_cat)
                     sk_q = jnp.clip(
