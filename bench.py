@@ -286,16 +286,21 @@ def main():
             for b, tout in candidates:
                 got = False
                 for impl in args.int8_impls.split(","):
-                    try:
-                        tps = bench_batch(b, tout,
-                                          apply_fn=make_int8_apply(impl),
-                                          label=f" int8-{impl}")
-                        if tps > best:
-                            best, best_mode = tps, f"int8-{impl}-{b}x{tout}"
-                        got = True
-                    except Exception as e:
-                        log(f"  int8 {impl} {b}x{tout} failed: "
-                            f"{type(e).__name__}: {str(e)[:200]}")
+                    # same 2-attempt retry as bf16: the remote compile
+                    # helper 500s intermittently, and one transient failure
+                    # must not silently drop the headline mode
+                    for attempt in (1, 2):
+                        try:
+                            tps = bench_batch(b, tout,
+                                              apply_fn=make_int8_apply(impl),
+                                              label=f" int8-{impl}")
+                            if tps > best:
+                                best, best_mode = tps, f"int8-{impl}-{b}x{tout}"
+                            got = True
+                            break
+                        except Exception as e:
+                            log(f"  int8 {impl} {b}x{tout} attempt {attempt} "
+                                f"failed: {type(e).__name__}: {str(e)[:200]}")
                 if got:
                     break
         return best, best_mode
@@ -304,22 +309,31 @@ def main():
     # to 25x between sessions, CLAUDE.md): the health gate is the WORKLOAD
     # itself — a measurement below HEALTHY_FRACTION of the best healthy
     # number on record re-runs after a pause, and every attempt is reported.
+    # The record is for the DEFAULT candidate set with int8 enabled; any
+    # override (custom candidates/batch/dtype/--no-int8/--pair0) measures a
+    # different workload, so the gate is skipped and window reported "n/a".
+    gated = (not args.candidates and not args.batch and not args.no_int8
+             and args.dtype == "bfloat16" and not args.pair0
+             and args.width_mult == 1)
     attempts = []
     best, best_mode = 0.0, "bf16"
-    for _ in range(3):
+    for _ in range(3 if gated else 1):
         tps, mode = measure_once()
         attempts.append(tps)
         if tps > best:
             best, best_mode = tps, mode
-        if tps >= HEALTHY_FRACTION * HEALTHY_TILES_S:
+        if not gated or tps >= HEALTHY_FRACTION * HEALTHY_TILES_S:
             break
         log(f"measurement {tps:.1f} tiles/s < "
             f"{HEALTHY_FRACTION:.0%} of healthy reference "
             f"{HEALTHY_TILES_S}; degraded window suspected — pausing 90 s "
             f"and re-running")
         time.sleep(90)
-    window = ("healthy" if best >= HEALTHY_FRACTION * HEALTHY_TILES_S
-              else "degraded")
+    if not gated:
+        window = "n/a (non-default config)"
+    else:
+        window = ("healthy" if best >= HEALTHY_FRACTION * HEALTHY_TILES_S
+                  else "degraded")
 
     baseline = 1000.0
     print(json.dumps({

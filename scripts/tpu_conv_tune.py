@@ -1,5 +1,8 @@
 """Tune the fused Pallas conv variants per serving shape (round 2).
 
+[Archived probe: timing predates utils/profiling.timeit_readback; superseded
+by scripts/tpu_layer_shootout.py. Kept with its results in results/r2/.]
+
 Probes (variant x block_rows) per dominant U-Net conv shape at the serving
 tile (batch 16 x 1212-in), int8 and bf16, with a VMEM-aware config filter and
 one retry (the env's remote compile helper 500s intermittently). Prints one

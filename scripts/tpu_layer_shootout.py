@@ -24,56 +24,17 @@ import numpy as np
 from jax import lax
 
 from tpu_unet.ops.conv_tiles import best_config, conv3x3_fused, conv3x3_int8_xla
+from tpu_unet.utils.profiling import measure_roundtrip, timeit_readback
 
 
 def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-ROUNDTRIP = 0.03
-
-
-def timeit(fn, *args, n=3, reps=6, min_work_s=0.3):
-    """Median seconds per fn call. Adaptive: if `reps` calls take less than
-    `min_work_s`, re-jit with enough reps that the measured work dominates
-    the ~30 ms tunnel roundtrip (short chains are roundtrip-noise-dominated:
-    the first shootout run printed 658 T/s bf16 dots, 3x over peak)."""
-
-    def make(reps):
-        @jax.jit
-        def run(*a):
-            def body(c, _):
-                aa = list(a)
-                aa[0] = (aa[0] + c.astype(aa[0].dtype)) \
-                    if aa[0].dtype == jnp.int8 \
-                    else aa[0] + (c * 1e-30).astype(aa[0].dtype)
-                y = fn(*aa)
-                return jnp.sum(y.astype(jnp.float32)) * 1e-30, None
-            s, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
-            return s
-        return run
-
-    run = make(reps)
-    float(run(*args))
-    t0 = time.perf_counter()
-    float(run(*args))
-    est = (time.perf_counter() - t0 - ROUNDTRIP) / reps
-    if est * reps < min_work_s:
-        reps = min(512, max(reps, int(np.ceil(min_work_s / max(est, 1e-6)))))
-        run = make(reps)
-        float(run(*args))
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        float(run(*args))
-        times.append((time.perf_counter() - t0 - ROUNDTRIP) / reps)
-    return float(np.median(times))
-
-
 def attempt(label, fn, *args, tries=2):
     for i in range(tries):
         try:
-            return timeit(fn, *args)
+            return timeit_readback(fn, *args)
         except Exception as e:  # remote compile helper 500s intermittently
             msg = str(e).split("\n")[0][:90]
             log(f"    {label} a{i+1} FAILED {type(e).__name__}: {msg}")
@@ -440,7 +401,6 @@ def run_pool(batch, rng):
 
 
 def main():
-    global ROUNDTRIP
     mode = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].isdigit() \
         else "full"
     batch = int(sys.argv[-1]) if sys.argv[-1:] and sys.argv[-1].isdigit() else 8
@@ -448,16 +408,7 @@ def main():
     float(jnp.zeros(()).sum())
     log(f"device: {jax.devices()[0]}, batch {batch}")
 
-    @jax.jit
-    def noop(x):
-        return x + 1
-
-    float(noop(jnp.int32(0)))
-    t0 = time.perf_counter()
-    for _ in range(6):
-        float(noop(jnp.int32(0)))
-    ROUNDTRIP = (time.perf_counter() - t0) / 6
-    log(f"tunnel roundtrip {ROUNDTRIP*1e3:.1f} ms")
+    log(f"tunnel roundtrip {measure_roundtrip()*1e3:.1f} ms")
     rng = jax.random.PRNGKey(0)
 
     if mode == "lowch":

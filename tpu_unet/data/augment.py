@@ -204,7 +204,9 @@ def _augment_one(
 
     # 4. binarize supervision window; normalize input
     gt = (gt_w > 127.0).astype(jnp.int32)
-    inp = (inp - jnp.min(inp)) / jnp.ptp(inp)
+    # guard: a constant crop (flat image region) has ptp 0 -> NaN inputs
+    # would silently poison the whole run (same guard as infer/tiles.py)
+    inp = (inp - jnp.min(inp)) / jnp.maximum(jnp.ptp(inp), 1e-12)
     return inp[..., None], gt
 
 

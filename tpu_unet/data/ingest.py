@@ -131,6 +131,11 @@ def crop_distribution(
         [(ii, jj) for ii in range(0, h - crop, skip) for jj in range(0, w - crop, skip)],
         np.int32,
     )
+    if len(pairs) == 0 and h >= crop and w >= crop:
+        # The reference's exclusive grid yields no candidates when the image
+        # is exactly crop-sized (its own code would then divide by zero,
+        # ``data.py:78-81``); defined behaviour here: the one valid origin.
+        pairs = np.zeros((1, 2), np.int32)
     if len(pairs) == 0:
         raise ValueError(f"image {h}x{w} smaller than crop {crop}")
     log_probs = np.zeros((n, len(pairs)), np.float32)

@@ -353,18 +353,9 @@ class QuantInference:
             k, b = qp.fconv[f"up{d}"]
             vin = self._deq(v, s)
             if self.upconv_impl == "matmul":
-                # overlap-free 2x2/stride-2 tconv == one MXU dot +
-                # depth-to-space (models/unet._MatmulUpconv; conv_transpose
-                # applies the kernel flipped, so flip before flattening)
-                bb_, h, wd, ci = vin.shape
-                co = k.shape[-1]
-                wr = k[::-1, ::-1].transpose(2, 0, 1, 3).reshape(ci, 4 * co)
-                u = jnp.dot(vin.reshape(bb_ * h * wd, ci), wr,
-                            preferred_element_type=jnp.float32)
-                u = ((u.reshape(bb_, h, wd, 2, 2, co) + b)
-                     .astype(jnp.bfloat16)
-                     .transpose(0, 1, 3, 2, 4, 5)
-                     .reshape(bb_, 2 * h, 2 * wd, co))
+                from tpu_unet.models.unet import matmul_upconv
+
+                u = matmul_upconv(vin, k, b, dtype=jnp.bfloat16)
             else:
                 u = jax.lax.conv_transpose(
                     vin, k, (2, 2), "VALID",

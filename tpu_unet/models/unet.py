@@ -187,15 +187,37 @@ class _SplitConcatConv(nn.Module):
             kernel.astype(self.dtype), bias.astype(self.dtype))
 
 
-class _MatmulUpconv(nn.Module):
+def matmul_upconv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                  dtype=jnp.bfloat16) -> jax.Array:
     """2x2 stride-2 transposed conv as ONE MXU dot + depth-to-space.
 
     The stride equals the kernel size, so output windows never overlap and the
     transposed conv is exactly y[b, 2i+dy, 2j+dx, co] = x[b,i,j,:] @ k[dy,dx]
     — a single [B*H*W, Cin] x [Cin, 4*Cout] matmul followed by a pixel
-    shuffle. Parameter tree matches nn.ConvTranspose ({kernel [2,2,Cin,Cout],
-    bias}), so checkpoints interoperate; equality is tested in
-    tests/test_model.py."""
+    shuffle. `kernel` uses the nn.ConvTranspose convention ([2,2,Cin,Cout],
+    applied spatially flipped by lax.conv_transpose — flipped here so both
+    paths consume the same checkpoints). Shared by _MatmulUpconv and the
+    quantized serving forward (infer/quant.py)."""
+    cin = x.shape[-1]
+    co = kernel.shape[-1]
+    x = x.astype(dtype)
+    b, h, w, _ = x.shape
+    # [dy, dx, cin, co] -> [cin, dy*dx*co]: the dot's N axis carries the
+    # four output sub-pixels contiguously per channel block.
+    wr = (kernel[::-1, ::-1].astype(dtype)
+          .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
+    y = jnp.dot(x.reshape(b * h * w, cin), wr,
+                preferred_element_type=jnp.float32)
+    y = (y.reshape(b, h, w, 2, 2, co)
+         + bias.astype(jnp.float32)).astype(dtype)
+    # [b, h, dy, w, dx, co] -> [b, 2h, 2w, co] (depth-to-space)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, co)
+
+
+class _MatmulUpconv(nn.Module):
+    """`matmul_upconv` as a Flax module with nn.ConvTranspose's parameter
+    tree ({kernel [2,2,Cin,Cout], bias}), so checkpoints interoperate;
+    equality is tested in tests/test_model.py."""
 
     features: int
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -210,21 +232,7 @@ class _MatmulUpconv(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (2, 2, cin, co),
                             self.param_dtype)
         bias = self.param("bias", self.bias_init, (co,), self.param_dtype)
-        x = x.astype(self.dtype)
-        b, h, w, _ = x.shape
-        # lax.conv_transpose applies the kernel spatially flipped
-        # (y[2i+dy, 2j+dx] = x[i,j] @ k[1-dy, 1-dx]); flip here so the
-        # parameter tree stays checkpoint-compatible. Then [dy, dx, cin, co]
-        # -> [cin, dy*dx*co]: the dot's N axis carries the four output
-        # sub-pixels contiguously per channel block.
-        wr = (kernel[::-1, ::-1].astype(self.dtype)
-              .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
-        y = jnp.dot(x.reshape(b * h * w, cin), wr,
-                    preferred_element_type=jnp.float32)
-        y = (y.reshape(b, h, w, 2, 2, co)
-             + bias.astype(jnp.float32)).astype(self.dtype)
-        # [b, h, dy, w, dx, co] -> [b, 2h, 2w, co] (depth-to-space)
-        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, co)
+        return matmul_upconv(x, kernel, bias, dtype=self.dtype)
 
 
 class UNet(nn.Module):

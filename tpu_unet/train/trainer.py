@@ -238,6 +238,11 @@ class Trainer:
             best_val_loss = host["best_val_loss"]
             goal_saved = host.get("goal_saved", False)
             goal_epoch = host.get("goal_epoch")
+            if goal_saved and goal_epoch is None:
+                # checkpoint from before goal_epoch existed: the goal was
+                # hit at or before the saved epoch — anchor the stop_on_goal
+                # patience there instead of disabling it forever
+                goal_epoch = host["epoch"]
             epoch0 = host["epoch"] + 1
             self._log(f"Resumed from epoch {host['epoch']}")
 
