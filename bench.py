@@ -266,6 +266,11 @@ def main():
         qi.pair_level0 = args.pair0
         return qi.apply
 
+    # With the default list later candidates are compile-safe FALLBACKS
+    # (stop at first success); an explicit --candidates is a sweep — measure
+    # them all.
+    fallbacks = not args.candidates
+
     def measure_once():
         best, best_mode = 0.0, "bf16"
         for b, tout in candidates:
@@ -280,7 +285,7 @@ def main():
                 except Exception as e:  # flaky remote-compile / OOM: retry,
                     log(f"  out={tout} batch={b} attempt {attempt} failed: "
                         f"{type(e).__name__}: {str(e)[:200]}")
-            if got:     # candidates are best-first; later ones are fallbacks
+            if got and fallbacks:
                 break
         if args.dtype == "bfloat16" and not args.no_int8:
             for b, tout in candidates:
@@ -301,7 +306,7 @@ def main():
                         except Exception as e:
                             log(f"  int8 {impl} {b}x{tout} attempt {attempt} "
                                 f"failed: {type(e).__name__}: {str(e)[:200]}")
-                if got:
+                if got and fallbacks:
                     break
         return best, best_mode
 
