@@ -22,8 +22,8 @@ def log(*a):
 
 
 # Best healthy-window measurement on record for the default candidate set
-# (16x1028 int8-xla serving path): update when the serving path improves.
-HEALTHY_TILES_S = 351.3
+# (16x1188 int8-xla serving path): update when the serving path improves.
+HEALTHY_TILES_S = 364.5
 HEALTHY_FRACTION = 0.8
 
 
@@ -243,12 +243,13 @@ def main():
     elif args.batch:
         candidates = [(args.batch, args.tile_out)]
     else:
-        # Best-first: 16x1028 is the measured sweet spot (351.3 int8 / 265.2
-        # bf16). Larger tiles lose (4x2052: 239.0/188.6 — the shallow layers
-        # get more bandwidth-bound; batches 24/32 fail remote compilation;
-        # results/r2/bench_batch_sweep.log), so 8x516 is only the
-        # compile-safe fallback: each mode stops at its first success.
-        candidates = [(16, 1028), (8, 516)]
+        # Best-first per mode, measured same-window (results/r2/
+        # bench_tilesweep2.log): int8 peaks at 16x1188 (364.5 tiles/s; 1028
+        # gives 353.6, 1604 333.2, 1316+ fails remote compilation); bf16
+        # cannot compile 1188 at batch 16, so its list starts at 1028
+        # (265). Later entries are compile-safe fallbacks — each mode stops
+        # at its first success.
+        candidates = None  # per-mode lists below
 
     # int8 post-training-quantized serving path (infer/quant.py): measured
     # +17.5% over bf16 e2e (results/r2/probe4.log: 314.8 vs 267.9 tiles/s at
@@ -266,14 +267,19 @@ def main():
         qi.pair_level0 = args.pair0
         return qi.apply
 
-    # With the default list later candidates are compile-safe FALLBACKS
+    # With the default lists later candidates are compile-safe FALLBACKS
     # (stop at first success); an explicit --candidates is a sweep — measure
     # them all.
     fallbacks = not args.candidates
+    if candidates is None:
+        bf16_candidates = [(16, 1028), (8, 516)]
+        int8_candidates = [(16, 1188), (16, 1028), (8, 516)]
+    else:
+        bf16_candidates = int8_candidates = candidates
 
     def measure_once():
         best, best_mode = 0.0, "bf16"
-        for b, tout in candidates:
+        for b, tout in bf16_candidates:
             got = False
             for attempt in (1, 2):
                 try:
@@ -288,7 +294,7 @@ def main():
             if got and fallbacks:
                 break
         if args.dtype == "bfloat16" and not args.no_int8:
-            for b, tout in candidates:
+            for b, tout in int8_candidates:
                 got = False
                 for impl in args.int8_impls.split(","):
                     # same 2-attempt retry as bf16: the remote compile
