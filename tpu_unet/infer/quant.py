@@ -17,8 +17,11 @@ the bf16 rate, and round-1 measured the model's bf16 ceiling at ~500 tiles/s
   'pallas' (fused MXU tiles, ops/conv_tiles.py — measured slower at every
   serving shape; kept as the documented kernel-research path and oracle);
 * max-pool operates on int8 directly (order-preserving); upconvs, the
-  low-channel convs, and the 1x1 head stay bf16; decoder concats happen in
-  bf16 and are re-quantized once per decoder level.
+  low-channel convs, and the 1x1 head stay bf16; decoder concats happen IN
+  int8 (the skip requantizes in place — round(q*s_skip/s_cat) is exactly
+  the requantize of the dequantized value — and float-sourced skips are
+  captured pre-quantized at the concat scale), so the full-resolution bf16
+  concat tensor never exists.
 
 Numerics contract is validated in tests/test_quant.py: logits close to bf16,
 prediction IoU drop < 0.5% on the synthetic eval set (VERDICT r1 item 2).
