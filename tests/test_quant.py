@@ -143,3 +143,24 @@ def test_pair_level0_matches_unpaired(trained_tiny):
     y_odd = QuantInference(qp, pair_level0=True).apply(x[:3])
     np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y_u)[:3],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quant_params_save_load_roundtrip(trained_tiny, tmp_path):
+    # Calibrate once, serialize, serve from disk: identical logits.
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              default_quant_names(model.cfg, 16))
+    path = str(tmp_path / "qp.npz")
+    from tpu_unet.infer.quant import load_quant_params, save_quant_params
+
+    save_quant_params(path, qp)
+    qp2 = load_quant_params(path)
+    assert qp2.qnames == qp.qnames and qp2.cfg == qp.cfg
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
+                           mode="reflect"))[..., None]
+    a = QuantInference(qp).apply(x)
+    b = QuantInference(qp2).apply(x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -477,6 +477,55 @@ def add_concat_scales(cfg: ModelConfig, scales: Dict[str, float]) -> Dict[str, f
     return out
 
 
+def save_quant_params(path: str, qp: QuantParams) -> None:
+    """Serialize a calibrated QuantParams to one .npz (int8 kernels, scale
+    vectors, bf16 float tensors, per-tensor scales, model config) — prepare
+    once, serve anywhere without re-calibration."""
+    import json
+
+    arrays = {}
+    for name, (w_q, s_w, bias) in qp.qconv.items():
+        arrays[f"q:{name}:w"] = np.asarray(w_q)
+        arrays[f"q:{name}:s"] = np.asarray(s_w)
+        arrays[f"q:{name}:b"] = np.asarray(bias)
+    for name, (k, b) in qp.fconv.items():
+        # npz has no bf16: store f32, restore to bf16 (exact round-trip —
+        # every bf16 is representable in f32)
+        arrays[f"f:{name}:k"] = np.asarray(k, dtype=np.float32)
+        arrays[f"f:{name}:b"] = np.asarray(b)
+    meta = {
+        "cfg": dataclasses.asdict(qp.cfg),
+        "qnames": sorted(qp.qnames),
+        "scales": qp.scales,
+    }
+    arrays["meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_quant_params(path: str) -> QuantParams:
+    """Inverse of `save_quant_params`."""
+    import json
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta"]).decode())
+    cfg = ModelConfig(**meta["cfg"])
+    qconv, fconv = {}, {}
+    for key in z.files:
+        kind, _, rest = key.partition(":")
+        if kind == "q" and rest.endswith(":w"):
+            name = rest[:-2]
+            qconv[name] = (jnp.asarray(z[f"q:{name}:w"]),
+                           jnp.asarray(z[f"q:{name}:s"]),
+                           jnp.asarray(z[f"q:{name}:b"]))
+        elif kind == "f" and rest.endswith(":k"):
+            name = rest[:-2]
+            fconv[name] = (jnp.asarray(z[f"f:{name}:k"], jnp.bfloat16),
+                           jnp.asarray(z[f"f:{name}:b"]))
+    return QuantParams(cfg=cfg, qnames=frozenset(meta["qnames"]),
+                       scales=dict(meta["scales"]), qconv=qconv, fconv=fconv)
+
+
 def build_quant_inference(model, params, sample_batch,
                           min_channels: int = 128, impl: str = "xla",
                           block_rows: Optional[int] = None,
