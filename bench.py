@@ -257,15 +257,22 @@ def main():
     # impl='xla' (int8 lax.conv) won every per-layer serving shape over the
     # Pallas tiles (results/r2/shootout.txt) and is the only impl benched;
     # pass --int8-impls to probe others.
-    def make_int8_apply(impl):
-        from tpu_unet.infer.quant import build_quant_inference
+    _qi_cache = {}
 
-        calib = jax.random.uniform(jax.random.PRNGKey(2), (2, 444, 444, 1),
-                                   jnp.float32)
-        qi = build_quant_inference(model, params, calib, impl=impl,
-                                   min_channels=128, interpret=False)
-        qi.pair_level0 = args.pair0
-        return qi.apply
+    def make_int8_apply(impl):
+        # calibration+quantization depend only on impl, not the tile shape:
+        # build once per impl (a sweep would otherwise re-calibrate per
+        # candidate per retry)
+        if impl not in _qi_cache:
+            from tpu_unet.infer.quant import build_quant_inference
+
+            calib = jax.random.uniform(jax.random.PRNGKey(2),
+                                       (2, 444, 444, 1), jnp.float32)
+            qi = build_quant_inference(model, params, calib, impl=impl,
+                                       min_channels=128, interpret=False)
+            qi.pair_level0 = args.pair0
+            _qi_cache[impl] = qi
+        return _qi_cache[impl].apply
 
     # With the default lists later candidates are compile-safe FALLBACKS
     # (stop at first success); an explicit --candidates is a sweep — measure
@@ -345,6 +352,19 @@ def main():
     else:
         window = ("healthy" if best >= HEALTHY_FRACTION * HEALTHY_TILES_S
                   else "degraded")
+
+    if best <= 0.0:
+        log("every candidate failed to produce a measurement")
+        print(json.dumps({
+            "metric": "overlap-tile inference throughput (512x512 tiles, "
+                      "U-Net)",
+            "value": None,
+            "unit": "tiles/sec/chip",
+            "vs_baseline": None,
+            "error": "all candidates failed (compilation or runtime)",
+            "attempts": [round(a, 1) for a in attempts],
+        }))
+        sys.exit(1)
 
     baseline = 1000.0
     print(json.dumps({

@@ -30,6 +30,7 @@ prediction IoU drop < 0.5% on the synthetic eval set (VERDICT r1 item 2).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, FrozenSet, Optional, Tuple
 
@@ -500,6 +501,8 @@ def save_quant_params(path: str, qp: QuantParams) -> None:
     }
     arrays["meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
+    if not path.endswith(".npz"):
+        path += ".npz"         # np.savez appends it anyway; keep load symmetric
     np.savez(path, **arrays)
 
 
@@ -507,21 +510,23 @@ def load_quant_params(path: str) -> QuantParams:
     """Inverse of `save_quant_params`."""
     import json
 
-    z = np.load(path)
-    meta = json.loads(bytes(z["meta"]).decode())
-    cfg = ModelConfig(**meta["cfg"])
-    qconv, fconv = {}, {}
-    for key in z.files:
-        kind, _, rest = key.partition(":")
-        if kind == "q" and rest.endswith(":w"):
-            name = rest[:-2]
-            qconv[name] = (jnp.asarray(z[f"q:{name}:w"]),
-                           jnp.asarray(z[f"q:{name}:s"]),
-                           jnp.asarray(z[f"q:{name}:b"]))
-        elif kind == "f" and rest.endswith(":k"):
-            name = rest[:-2]
-            fconv[name] = (jnp.asarray(z[f"f:{name}:k"], jnp.bfloat16),
-                           jnp.asarray(z[f"f:{name}:b"]))
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path += ".npz"
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        cfg = ModelConfig(**meta["cfg"])
+        qconv, fconv = {}, {}
+        for key in z.files:
+            kind, _, rest = key.partition(":")
+            if kind == "q" and rest.endswith(":w"):
+                name = rest[:-2]
+                qconv[name] = (jnp.asarray(z[f"q:{name}:w"]),
+                               jnp.asarray(z[f"q:{name}:s"]),
+                               jnp.asarray(z[f"q:{name}:b"]))
+            elif kind == "f" and rest.endswith(":k"):
+                name = rest[:-2]
+                fconv[name] = (jnp.asarray(z[f"f:{name}:k"], jnp.bfloat16),
+                               jnp.asarray(z[f"f:{name}:b"]))
     return QuantParams(cfg=cfg, qnames=frozenset(meta["qnames"]),
                        scales=dict(meta["scales"]), qconv=qconv, fconv=fconv)
 
