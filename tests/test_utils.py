@@ -62,3 +62,17 @@ def test_parity_broadcast_training_wiring(tmp_path):
                  out_dir=str(tmp_path / "run"), verbose=False)
     hist = tr.fit(data, data, epochs=0)
     assert np.isfinite(hist["loss"][0])
+
+
+def test_timeit_readback_cpu():
+    # The adaptive readback timer (the round-2 measurement-hygiene fix) works
+    # on CPU too: positive roundtrip, positive per-call time, correct value.
+    import jax.numpy as jnp
+
+    from tpu_unet.utils.profiling import measure_roundtrip, timeit_readback
+
+    rt = measure_roundtrip()
+    assert rt >= 0
+    d = timeit_readback(lambda x: x * 2.0, jnp.ones((256, 256)),
+                        n=2, reps=2, min_work_s=0.0)
+    assert d > 0
