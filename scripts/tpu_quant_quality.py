@@ -1,0 +1,73 @@
+"""Full-width int8 quality gate on hardware.
+
+tests/test_quant.py proves the <0.5% IoU-drop contract on a width-8 model
+(CPU, min_channels=16). This runs the PRODUCTION configuration — the
+full-width bf16 U-Net trained by scripts/train_synthetic_tpu.py, quantized
+at min_channels=128 — through `evaluate` with and without `quant='int8'` on
+the synthetic eval set, on the real chip.
+
+Usage: python scripts/tpu_quant_quality.py [checkpoint_dir]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from tpu_unet.config import (
+    AugmentConfig,
+    DatasetConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from tpu_unet.data import synthetic_dataset
+from tpu_unet.infer import evaluate
+from tpu_unet.train.checkpoint import Checkpointer
+from tpu_unet.train.trainer import Trainer, TrainState
+
+
+def main():
+    ckpt_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synthetic_tpu/models"
+    print(f"[{time.strftime('%H:%M:%S')}] establishing TPU session ...",
+          flush=True)
+    import jax.numpy as jnp
+
+    float(jnp.zeros(()).sum())
+    data = synthetic_dataset(n_images=8, h=256, w=256, n_cells=5, crop=196,
+                             seed=0)
+    ds = DatasetConfig(name="synthetic", crop=196, metric="iou",
+                       weight_mode="distance", goal=0.95, goal_direction="max")
+    trainer = Trainer(ds, model_cfg=ModelConfig(compute_dtype="bfloat16"),
+                      train_cfg=TrainConfig(batch_size=2),
+                      aug_cfg=AugmentConfig(crop=196),
+                      loss_cfg=LossConfig(weight_mode="distance",
+                                          max_objects=16),
+                      out_dir="/tmp/quant_quality", verbose=False)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt = Checkpointer(os.path.abspath(ckpt_dir))
+    restored, _ = ckpt.restore("best", template)
+    state = TrainState(*restored)
+    print(f"[{time.strftime('%H:%M:%S')}] checkpoint restored; evaluating "
+          f"bf16 ...", flush=True)
+    r_bf = evaluate(trainer.model, state.params, data, verbose=False)
+    print(f"[{time.strftime('%H:%M:%S')}] evaluating int8 ...", flush=True)
+    r_q = evaluate(trainer.model, state.params, data, verbose=False,
+                   quant="int8")
+    drop = (r_bf["iou_mean"] - r_q["iou_mean"]) / max(r_bf["iou_mean"], 1e-9)
+    print(json.dumps({
+        "bf16_iou": round(r_bf["iou_mean"], 6),
+        "int8_iou": round(r_q["iou_mean"], 6),
+        "bf16_pe": round(r_bf["pe_mean"], 6),
+        "int8_pe": round(r_q["pe_mean"], 6),
+        "iou_drop_frac": round(drop, 6),
+        "gate": "PASS" if drop < 0.005 else "FAIL",
+    }))
+
+
+if __name__ == "__main__":
+    main()
