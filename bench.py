@@ -21,10 +21,52 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
 
 
-# Best healthy-window measurement on record for the default candidate set
-# (16x1188 int8-xla serving path): update when the serving path improves.
-HEALTHY_TILES_S = 364.5
+# Floor values for the health gate when no record is found on disk; the live
+# reference is the best healthy-window measurement on record
+# (healthy_reference() below), so the gate tracks the serving path as it
+# improves instead of going stale.
+HEALTHY_TILES_S_FLOOR = 364.5     # results/r2: int8-xla 16x1188
+HEALTHY_STEPS_S_FLOOR = 13.3      # round-1 healthy train window
 HEALTHY_FRACTION = 0.8
+
+
+def healthy_reference(mode: str) -> float:
+    """Best healthy-window bench value on record for `mode` ('infer' |
+    'train'): scans BENCH_r*.json (driver records) and results/*/ *.json
+    (session records) next to this file. A record counts if its unit matches
+    the mode and carries an explicit window=="healthy" (pre-round-3 records
+    without the field are covered by the floor constants)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    unit_prefix = "steps/sec" if mode == "train" else "tiles/sec"
+    best = HEALTHY_STEPS_S_FLOOR if mode == "train" else HEALTHY_TILES_S_FLOOR
+
+    def consider(rec):
+        nonlocal best
+        if not isinstance(rec, dict):
+            return
+        if "parsed" in rec:
+            rec = rec["parsed"]
+        if not isinstance(rec, dict):
+            return
+        unit = str(rec.get("unit", ""))
+        value = rec.get("value")
+        window = rec.get("window")
+        if (unit.startswith(unit_prefix) and isinstance(value, (int, float))
+                and window == "healthy"):
+            best = max(best, float(value))
+
+    paths = (glob.glob(os.path.join(root, "BENCH_r*.json"))
+             + glob.glob(os.path.join(root, "results", "*", "*.json")))
+    for p in paths:
+        try:
+            with open(p) as f:
+                consider(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return best
 
 
 def unet_forward_flops(tile_in: int, width_mult: int = 1) -> float:
@@ -99,19 +141,46 @@ def bench_train(args, model, cfg):
     float(loss)
     log(f"compile+first step {time.perf_counter() - t0:.1f}s")
     n = args.iters
-    t0 = time.perf_counter()
-    for i in range(1, n + 1):
-        state, loss = one_step(state, i)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n
-    sps = 1.0 / dt
-    log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
-        f"({sps * 2:.2f} samples/s, batch 2)")
+
+    def measure_once(state):
+        t0 = time.perf_counter()
+        for i in range(1, n + 1):
+            state, loss = one_step(state, i)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        sps = 1.0 / dt
+        log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
+            f"({sps * 2:.2f} samples/s, batch 2)")
+        return sps, state
+
+    # Same degraded-window self-defense as infer mode (the pooled chip varies
+    # up to 25x between sessions): re-measure after a pause when below the
+    # healthy fraction, report every attempt. Gate only on the default
+    # workload (non-default width/dtype measures something else).
+    ref = healthy_reference("train")
+    gated = args.width_mult == 1 and args.dtype == "bfloat16"
+    attempts, best = [], 0.0
+    for _ in range(3 if gated else 1):
+        sps, state = measure_once(state)
+        attempts.append(sps)
+        best = max(best, sps)
+        if not gated or sps >= HEALTHY_FRACTION * ref:
+            break
+        log(f"train measurement {sps:.2f} steps/s < "
+            f"{HEALTHY_FRACTION:.0%} of healthy reference {ref}; degraded "
+            f"window suspected — pausing 90 s and re-running")
+        time.sleep(90)
+    window = ("n/a (non-default config)" if not gated
+              else "healthy" if best >= HEALTHY_FRACTION * ref
+              else "degraded")
     print(json.dumps({
         "metric": "fused train step (HeLa config: augment+EDT weights+bwd+SGD)",
-        "value": round(sps, 3),
+        "value": round(best, 3),
         "unit": "steps/sec/chip (batch 2, 572-in)",
         "vs_baseline": None,
+        "window": window,
+        "attempts": [round(a, 2) for a in attempts],
+        "healthy_reference": ref,
     }))
 
 
@@ -332,7 +401,8 @@ def main():
     # different workload, so the gate is skipped and window reported "n/a".
     gated = (not args.candidates and not args.batch and not args.no_int8
              and args.dtype == "bfloat16" and not args.pair0
-             and args.width_mult == 1)
+             and args.width_mult == 1 and args.int8_impls == "xla")
+    healthy_ref = healthy_reference("infer")
     attempts = []
     best, best_mode = 0.0, "bf16"
     for _ in range(3 if gated else 1):
@@ -340,17 +410,17 @@ def main():
         attempts.append(tps)
         if tps > best:
             best, best_mode = tps, mode
-        if not gated or tps >= HEALTHY_FRACTION * HEALTHY_TILES_S:
+        if not gated or tps >= HEALTHY_FRACTION * healthy_ref:
             break
         log(f"measurement {tps:.1f} tiles/s < "
             f"{HEALTHY_FRACTION:.0%} of healthy reference "
-            f"{HEALTHY_TILES_S}; degraded window suspected — pausing 90 s "
+            f"{healthy_ref}; degraded window suspected — pausing 90 s "
             f"and re-running")
         time.sleep(90)
     if not gated:
         window = "n/a (non-default config)"
     else:
-        window = ("healthy" if best >= HEALTHY_FRACTION * HEALTHY_TILES_S
+        window = ("healthy" if best >= HEALTHY_FRACTION * healthy_ref
                   else "degraded")
 
     if best <= 0.0:
@@ -376,7 +446,7 @@ def main():
         "mode": best_mode,
         "window": window,
         "attempts": [round(a, 1) for a in attempts],
-        "healthy_reference": HEALTHY_TILES_S,
+        "healthy_reference": healthy_ref,
     }))
 
 

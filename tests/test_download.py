@@ -165,3 +165,93 @@ def test_download_pretrained_gdrive_confirm_dance(tmp_path):
 def test_download_pretrained_unknown_name(tmp_path):
     with pytest.raises(download.DownloadError, match="no published"):
         download.download_pretrained(str(tmp_path), "NoSuchDataset")
+
+
+def test_download_pretrained_gdrive_form_confirm(tmp_path):
+    # The current Drive interstitial (no download_warning cookie since ~2022):
+    # the confirm token rides in hidden form inputs posting to a different
+    # endpoint. fetch_gdrive must parse the form and follow it; a stale HTML
+    # "zip" must never be left in models_dir.
+    import http.server
+    import io
+    import threading
+    import zipfile as zf
+    from urllib.parse import parse_qs, urlparse
+
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w") as z:
+        z.writestr("PhC-C2DH-U373/unet.pth", b"not-a-real-torch-file")
+    payload = buf.getvalue()
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = urlparse(self.path)
+            q = parse_qs(path.query)
+            hits.append((path.path, q))
+            if path.path == "/download" and q.get("confirm") == ["t"] \
+                    and q.get("uuid") == ["u-u-i-d"]:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                port = self.server.server_address[1]
+                html = (
+                    '<!DOCTYPE html><html><body>'
+                    f'<form id="download-form" '
+                    f'action="http://127.0.0.1:{port}/download" method="get">'
+                    '<input type="hidden" name="id" value="FORM_ID">'
+                    '<input type="hidden" name="export" value="download">'
+                    '<input type="hidden" name="confirm" value="t">'
+                    '<input type="hidden" name="uuid" value="u-u-i-d">'
+                    '</form></body></html>')
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(html.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/uc?export=download"
+        out = download.download_pretrained(
+            str(tmp_path / "models"), "PhC-C2DH-U373",
+            file_id="FORM_ID", base_url=base)
+        assert os.path.exists(os.path.join(out, "unet.pth"))
+        assert len(hits) == 2          # interstitial + form-confirmed fetch
+        assert not os.path.exists(tmp_path / "models" / "PhC-C2DH-U373.zip")
+    finally:
+        srv.shutdown()
+
+
+def test_download_pretrained_unresolvable_html_raises(tmp_path):
+    # An interstitial with no form (quota exceeded page) raises DownloadError
+    # and leaves no partial zip behind for a retry to trip on.
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html><body>Quota exceeded</body></html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/uc?export=download"
+        with pytest.raises(download.DownloadError):
+            download.download_pretrained(
+                str(tmp_path / "models"), "ISBI2012",
+                file_id="NO_FORM", base_url=base)
+        assert not os.path.exists(tmp_path / "models" / "ISBI2012.zip")
+    finally:
+        srv.shutdown()

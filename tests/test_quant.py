@@ -164,3 +164,76 @@ def test_quant_params_save_load_roundtrip(trained_tiny, tmp_path):
     a = QuantInference(qp).apply(x)
     b = QuantInference(qp2).apply(x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_int8_caches_engines(trained_tiny, tmp_path, monkeypatch):
+    """VERDICT r2 item 6: a second evaluate(quant='int8') on the same shapes
+    must re-use the cached calibration and jitted engines — zero new
+    calibrations, zero new TileInference constructions."""
+    import tpu_unet.infer.quant as quant_mod
+    import tpu_unet.infer.tester as tester_mod
+    from tpu_unet.infer.tester import evaluate
+
+    model, params, _, data = trained_tiny
+    tester_mod._ENGINE_CACHE.clear()
+    tester_mod._QUANT_CACHE.clear()
+
+    calls = {"calibrate": 0, "engines": 0}
+    real_calibrate = quant_mod.calibrate
+    real_engine = tester_mod.TileInference
+
+    def counting_calibrate(*a, **k):
+        calls["calibrate"] += 1
+        return real_calibrate(*a, **k)
+
+    class CountingEngine(real_engine):
+        def __init__(self, *a, **k):
+            calls["engines"] += 1
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(quant_mod, "calibrate", counting_calibrate)
+    monkeypatch.setattr(tester_mod, "TileInference", CountingEngine)
+
+    r1 = evaluate(model, params, data, verbose=False, quant="int8")
+    first = dict(calls)
+    assert first["calibrate"] == 1 and first["engines"] >= 1
+    r2 = evaluate(model, params, data, verbose=False, quant="int8")
+    assert calls == first, f"second evaluation rebuilt state: {calls} vs {first}"
+    assert r1["iou_mean"] == r2["iou_mean"]
+
+
+def test_evaluate_int8_quant_path_serves_from_disk(trained_tiny, tmp_path,
+                                                   monkeypatch):
+    """quant_path: first call calibrates and writes the artifact; a fresh
+    process (cleared caches) serves from the file with zero calibration."""
+    import tpu_unet.infer.quant as quant_mod
+    import tpu_unet.infer.tester as tester_mod
+    from tpu_unet.infer.tester import evaluate
+
+    model, params, _, data = trained_tiny
+    tester_mod._ENGINE_CACHE.clear()
+    tester_mod._QUANT_CACHE.clear()
+    path = str(tmp_path / "serving_qp.npz")
+
+    calls = {"calibrate": 0}
+    real_calibrate = quant_mod.calibrate
+
+    def counting_calibrate(*a, **k):
+        calls["calibrate"] += 1
+        return real_calibrate(*a, **k)
+
+    monkeypatch.setattr(quant_mod, "calibrate", counting_calibrate)
+
+    r1 = evaluate(model, params, data, verbose=False, quant="int8",
+                  quant_path=path)
+    assert calls["calibrate"] == 1
+    import os
+    assert os.path.exists(path)
+
+    # simulate a fresh serving process
+    tester_mod._ENGINE_CACHE.clear()
+    tester_mod._QUANT_CACHE.clear()
+    r2 = evaluate(model, params, data, verbose=False, quant="int8",
+                  quant_path=path)
+    assert calls["calibrate"] == 1, "serving from disk must not re-calibrate"
+    assert r1["iou_mean"] == r2["iou_mean"]

@@ -73,6 +73,9 @@ def test_timeit_readback_cpu():
 
     rt = measure_roundtrip()
     assert rt >= 0
+    # min_work_s > 0 exercises the adaptive-reps path and keeps the timed
+    # work above the host-scheduler noise floor (a min_work_s=0 probe can
+    # measure less than the roundtrip subtraction under full-suite load).
     d = timeit_readback(lambda x: x * 2.0, jnp.ones((256, 256)),
-                        n=2, reps=2, min_work_s=0.0)
+                        n=2, reps=2, min_work_s=0.02)
     assert d > 0

@@ -131,12 +131,33 @@ PRETRAINED_MODEL_IDS = {
 }
 
 
+def _parse_drive_interstitial(html: str):
+    """Extract (action_url, params) from Drive's download-warning HTML form.
+    Since ~2022 the confirm token rides in hidden form inputs (the
+    ``download_warning`` cookie is gone); the form posts to
+    drive.usercontent.google.com with id/export/confirm/uuid fields."""
+    import re
+
+    m = re.search(r'<form[^>]*action="([^"]+)"', html)
+    if not m:
+        return None
+    action = m.group(1).replace("&amp;", "&")
+    params = {}
+    for name, value in re.findall(
+            r'<input[^>]*name="([^"]+)"[^>]*value="([^"]*)"', html):
+        params[name] = value
+    return action, params
+
+
 def fetch_gdrive(file_id: str, dest: str, *, base_url: str = GDRIVE_URL,
                  timeout: float = 60.0) -> None:
     """Fetch a Google-Drive file by id (reference ``data.py:398-431``): the
-    first GET may answer with a ``download_warning`` cookie instead of the
-    payload (Drive's virus-scan interstitial for large files); retry with
-    ``confirm=<token>``. Stdlib cookie-aware urllib, streamed to `dest`."""
+    first GET may answer with a virus-scan interstitial instead of the
+    payload. Two confirm mechanisms are handled: the legacy
+    ``download_warning`` cookie (the reference's mechanism) and the current
+    HTML form whose hidden inputs carry the confirm token/uuid. Stdlib
+    cookie-aware urllib, streamed to `dest`; an interstitial that cannot be
+    resolved raises DownloadError rather than leaving HTML on disk."""
     import http.cookiejar
     import urllib.request
     from urllib.parse import urlencode
@@ -145,25 +166,51 @@ def fetch_gdrive(file_id: str, dest: str, *, base_url: str = GDRIVE_URL,
     opener = urllib.request.build_opener(
         urllib.request.HTTPCookieProcessor(jar))
 
-    def get(params):
-        return opener.open(f"{base_url}&{urlencode(params)}"
-                           if "?" in base_url
-                           else f"{base_url}?{urlencode(params)}",
+    def get(url, params):
+        return opener.open(f"{url}&{urlencode(params)}"
+                           if "?" in url
+                           else f"{url}?{urlencode(params)}",
                            timeout=timeout)
 
-    try:
-        r = get({"id": file_id})
-        token = next((c.value for c in jar
-                      if c.name.startswith("download_warning")), None)
-        if token:
-            r.close()
-            r = get({"id": file_id, "confirm": token})
+    def stream_to_dest(r) -> bytes:
+        """Write the response to dest; returns the first KB for sniffing."""
+        head = b""
         with r, open(dest, "wb") as f:
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:
                     break
+                if len(head) < 1024:
+                    head += chunk[:1024]
                 f.write(chunk)
+        return head
+
+    try:
+        r = get(base_url, {"id": file_id})
+        token = next((c.value for c in jar
+                      if c.name.startswith("download_warning")), None)
+        if token:
+            r.close()
+            r = get(base_url, {"id": file_id, "confirm": token})
+        head = stream_to_dest(r)
+        if head.lstrip()[:15].lower() not in (b"<!doctype html>",) and \
+                not head.lstrip().lower().startswith(b"<html"):
+            return
+        # The payload was the HTML interstitial: parse the confirm form.
+        with open(dest, "r", errors="replace") as f:
+            parsed = _parse_drive_interstitial(f.read())
+        os.remove(dest)
+        if parsed is None:
+            raise DownloadError(
+                f"drive id {file_id}: interstitial page with no download "
+                f"form (quota exceeded or file removed)")
+        action, params = parsed
+        params.setdefault("id", file_id)
+        head = stream_to_dest(get(action, params))
+        if head.lstrip().lower().startswith((b"<!doctype", b"<html")):
+            os.remove(dest)
+            raise DownloadError(
+                f"drive id {file_id}: still served HTML after form confirm")
     except DownloadError:
         raise
     except Exception as e:  # pragma: no cover - network dependent
@@ -190,10 +237,19 @@ def download_pretrained(models_dir: str, name: str, *,
     if os.path.isdir(target):
         return target
     zpath = os.path.join(models_dir, f"{name}.zip")
-    fetch_gdrive(file_id, zpath, base_url=base_url)
-    with zipfile.ZipFile(zpath) as z:
-        z.extractall(models_dir)
-    os.remove(zpath)
+    try:
+        fetch_gdrive(file_id, zpath, base_url=base_url)
+        try:
+            with zipfile.ZipFile(zpath) as z:
+                z.extractall(models_dir)
+        except zipfile.BadZipFile as e:
+            # callers are documented to catch DownloadError, and a stale
+            # partial zip must not poison the retry
+            raise DownloadError(
+                f"pretrained {name}: fetched file is not a zip ({e})") from e
+    finally:
+        if os.path.exists(zpath):
+            os.remove(zpath)
     return target
 
 

@@ -455,15 +455,18 @@ def calibration_batch(images, size: int = 188, n: int = 2) -> jax.Array:
     out = []
     for img in list(images)[:max(n, 1)]:
         a = np.asarray(img, np.float32)
+        # Normalize the FULL image first, then crop — serving (TileInference
+        # normalize=True) normalizes whole images before tiling, so a crop
+        # normalized by its own local min/ptp would misestimate activation
+        # scales whenever the crop's dynamic range differs from the image's.
+        a = (a - a.min()) / max(np.ptp(a), 1e-12)
         h, w = a.shape
         if h < size or w < size:
             a = np.pad(a, ((0, max(0, size - h)), (0, max(0, size - w))),
                        mode="reflect")
             h, w = a.shape
         y0, x0 = (h - size) // 2, (w - size) // 2
-        a = a[y0:y0 + size, x0:x0 + size]
-        a = (a - a.min()) / max(np.ptp(a), 1e-12)
-        out.append(a)
+        out.append(a[y0:y0 + size, x0:x0 + size])
     return jnp.asarray(np.stack(out)[..., None])
 
 

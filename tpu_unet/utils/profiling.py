@@ -119,4 +119,8 @@ def timeit_readback(fn, *args, n: int = 3, reps: int = 6,
         t0 = time.perf_counter()
         float(run(*args))
         times.append((time.perf_counter() - t0 - rt) / reps)
-    return float(np.median(times))
+    # The roundtrip subtraction can push a tiny measurement below zero under
+    # host scheduler noise (timed work smaller than the noise floor). A
+    # duration is physically positive: clamp so callers never divide by / sort
+    # on a negative time.
+    return max(float(np.median(times)), 1e-9)
