@@ -69,30 +69,30 @@ def healthy_reference(mode: str) -> float:
     return best
 
 
-def unet_forward_flops(tile_in: int, width_mult: int = 1) -> float:
+def unet_forward_flops(tile_in: int, width_mult: int = 1,
+                       tile_in_w: int = None) -> float:
     """Analytic conv FLOPs for one forward at the given input size
-    (2*k^2*Cin*Cout per output pixel; includes upconvs and the 1x1 head)."""
+    (2*k^2*Cin*Cout per output pixel; includes upconvs and the 1x1 head).
+    `tile_in_w` supports rectangular (strip) tiles; defaults to square."""
     w = [64 * width_mult * 2 ** i for i in range(5)]
     flops = 0.0
-    s = tile_in
-    sizes = []
+    h, wd = tile_in, tile_in if tile_in_w is None else tile_in_w
     cin = 1
     for d in range(4):
-        flops += 2 * 9 * cin * w[d] * (s - 1) ** 2  # approx both convs' sizes
-        flops += 2 * 9 * w[d] * w[d] * (s - 3) ** 2
-        sizes.append(s - 4)
-        s = (s - 4) // 2
+        flops += 2 * 9 * cin * w[d] * (h - 1) * (wd - 1)  # approx both convs
+        flops += 2 * 9 * w[d] * w[d] * (h - 3) * (wd - 3)
+        h, wd = (h - 4) // 2, (wd - 4) // 2
         cin = w[d]
-    flops += 2 * 9 * w[3] * w[4] * (s - 1) ** 2
-    flops += 2 * 9 * w[4] * w[4] * (s - 3) ** 2
-    s = s - 4
+    flops += 2 * 9 * w[3] * w[4] * (h - 1) * (wd - 1)
+    flops += 2 * 9 * w[4] * w[4] * (h - 3) * (wd - 3)
+    h, wd = h - 4, wd - 4
     for d in reversed(range(4)):
-        s = s * 2
-        flops += 2 * 4 * w[d + 1] * w[d] * s ** 2        # upconv
-        flops += 2 * 9 * 2 * w[d] * w[d] * (s - 1) ** 2  # dec conv1 (concat in)
-        flops += 2 * 9 * w[d] * w[d] * (s - 3) ** 2
-        s = s - 4
-    flops += 2 * 64 * width_mult * 2 * s ** 2            # 1x1 head
+        h, wd = h * 2, wd * 2
+        flops += 2 * 4 * w[d + 1] * w[d] * h * wd          # upconv
+        flops += 2 * 9 * 2 * w[d] * w[d] * (h - 1) * (wd - 1)  # dec conv1
+        flops += 2 * 9 * w[d] * w[d] * (h - 3) * (wd - 3)
+        h, wd = h - 4, wd - 4
+    flops += 2 * 64 * width_mult * 2 * h * wd              # 1x1 head
     return flops
 
 
@@ -199,11 +199,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-int8", action="store_true",
                     help="skip the int8-quantized serving candidate")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="measure only the int8 serving candidates (sweeps)")
     ap.add_argument("--int8-impls", default="xla",
                     help='comma list of quant conv impls to bench ("xla",'
                          ' "pallas")')
     ap.add_argument("--pair0", action="store_true",
                     help="enable level-0 batch pairing in the int8 path")
+    ap.add_argument("--fused", action="store_true",
+                    help="enable the fused level-0 Pallas kernels in the "
+                         "int8 path (enc0 chain + decoder concat+quantize)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -248,9 +253,16 @@ def main():
     def bench_batch(b, tile_out, apply_fn=None, label=""):
         # Larger output tiles amortize the 184-px receptive-field context:
         # 516-out costs (700/516)^2 = 1.84x per pixel at level 1; 1028-out
-        # only 1.39x. Throughput is counted in 512x512 output-tile units.
-        tile_in = tile_out + 184
-        tiles_per_fwd = (tile_out / 512.0) ** 2
+        # only 1.39x; and rectangular STRIP tiles (tile_out = (h, w)) push
+        # further — a tall strip at the proven 1372-in width shares halo
+        # context between what would be vertically-adjacent square tiles
+        # (paper-skip valid convs make the strip forward exactly the union
+        # of the tile forwards). Throughput is counted in 512x512
+        # output-tile units of USEFUL (non-duplicated) output.
+        h_out, w_out = (tile_out if isinstance(tile_out, tuple)
+                        else (tile_out, tile_out))
+        tile_in, tile_in_w = h_out + 184, w_out + 184
+        tiles_per_fwd = (h_out * w_out) / 512.0 ** 2
         if apply_fn is None:
             apply_fn = lambda tiles: model.apply(params, tiles)
 
@@ -280,16 +292,17 @@ def main():
         # 6 iters (564 MB) — cap conservatively and let more repeats make up
         # the measurement time.
         iters = max(3, min(args.iters,
-                           int(6e8 / (b * tile_in * tile_in * 4))))
-        log(f"  out={tile_out} batch={b}{label}: generating tiles ({iters} iters) ...")
+                           int(6e8 / (b * tile_in * tile_in_w * 4))))
+        name = (f"out={h_out}" if h_out == w_out else f"out={h_out}x{w_out}")
+        log(f"  {name} batch={b}{label}: generating tiles ({iters} iters) ...")
         tiles = jax.random.uniform(
-            jax.random.PRNGKey(1), (iters, b, tile_in, tile_in, 1),
+            jax.random.PRNGKey(1), (iters, b, tile_in, tile_in_w, 1),
             jnp.float32)
         float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
-        log(f"  out={tile_out} batch={b}{label}: compiling scan-{iters} ...")
+        log(f"  {name} batch={b}{label}: compiling scan-{iters} ...")
         t0 = time.perf_counter()
         float(run(tiles))
-        log(f"  out={tile_out} batch={b}{label}: compile+first run "
+        log(f"  {name} batch={b}{label}: compile+first run "
             f"{time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(max(1, args.warmup)):
@@ -300,14 +313,24 @@ def main():
             times.append(time.perf_counter() - t0 - roundtrip)
         dt = float(np.median(times))
         tps = iters * b * tiles_per_fwd / dt
-        tf = unet_forward_flops(tile_in, args.width_mult) * iters * b / dt / 1e12
-        log(f"  out={tile_out} batch={b}{label}: {iters} x {b} fwd in "
+        tf = (unet_forward_flops(tile_in, args.width_mult, tile_in_w)
+              * iters * b / dt / 1e12)
+        log(f"  {name} batch={b}{label}: {iters} x {b} fwd in "
             f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
             f"{tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
         return tps
 
+    def parse_candidate(c):
+        """'BxT' (square) or 'BxHxW' (strip/rectangular output tile)."""
+        parts = list(map(int, c.split("x")))
+        if len(parts) == 2:
+            return (parts[0], parts[1])
+        if len(parts) == 3:
+            return (parts[0], (parts[1], parts[2]))
+        raise ValueError(f"candidate {c!r}: want BxT or BxHxW")
+
     if args.candidates:
-        candidates = [tuple(map(int, c.split("x")))
+        candidates = [parse_candidate(c)
                       for c in args.candidates.split(",")]  # "8x516,16x1028"
     elif args.batch:
         candidates = [(args.batch, args.tile_out)]
@@ -340,6 +363,7 @@ def main():
             qi = build_quant_inference(model, params, calib, impl=impl,
                                        min_channels=128, interpret=False)
             qi.pair_level0 = args.pair0
+            qi.fused_enc0 = qi.fused_concat = args.fused
             _qi_cache[impl] = qi
         return _qi_cache[impl].apply
 
@@ -353,15 +377,18 @@ def main():
     else:
         bf16_candidates = int8_candidates = candidates
 
+    def fmt(tout):
+        return f"{tout[0]}x{tout[1]}" if isinstance(tout, tuple) else str(tout)
+
     def measure_once():
         best, best_mode = 0.0, "bf16"
-        for b, tout in bf16_candidates:
+        for b, tout in ([] if args.skip_bf16 else bf16_candidates):
             got = False
             for attempt in (1, 2):
                 try:
                     tps = bench_batch(b, tout)
                     if tps > best:
-                        best, best_mode = tps, f"bf16-{b}x{tout}"
+                        best, best_mode = tps, f"bf16-{b}x{fmt(tout)}"
                     got = True
                     break
                 except Exception as e:  # flaky remote-compile / OOM: retry,
@@ -382,7 +409,7 @@ def main():
                                               apply_fn=make_int8_apply(impl),
                                               label=f" int8-{impl}")
                             if tps > best:
-                                best, best_mode = tps, f"int8-{impl}-{b}x{tout}"
+                                best, best_mode = tps, f"int8-{impl}-{b}x{fmt(tout)}"
                             got = True
                             break
                         except Exception as e:
@@ -400,8 +427,9 @@ def main():
     # override (custom candidates/batch/dtype/--no-int8/--pair0) measures a
     # different workload, so the gate is skipped and window reported "n/a".
     gated = (not args.candidates and not args.batch and not args.no_int8
-             and args.dtype == "bfloat16" and not args.pair0
-             and args.width_mult == 1 and args.int8_impls == "xla")
+             and not args.skip_bf16 and args.dtype == "bfloat16"
+             and not args.pair0 and not args.fused and args.width_mult == 1
+             and args.int8_impls == "xla")
     healthy_ref = healthy_reference("infer")
     attempts = []
     best, best_mode = 0.0, "bf16"

@@ -237,3 +237,53 @@ def test_evaluate_int8_quant_path_serves_from_disk(trained_tiny, tmp_path,
                   quant_path=path)
     assert calls["calibrate"] == 1, "serving from disk must not re-calibrate"
     assert r1["iou_mean"] == r2["iou_mean"]
+
+
+def test_strip_forward_equals_tiled_oracle(trained_tiny):
+    """Strip serving exactness (VERDICT r2 item 1): with paper skips, one
+    int8 forward over a wide strip equals the union of independent
+    overlapping square-tile forwards bit-for-bit (valid convolutions are
+    translation-invariant; the strip shares the tiles' halo context)."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
+                               mode="reflect"))[..., None]
+    from tpu_unet.infer.quant import build_quant_inference
+
+    qi = build_quant_inference(model, params, calib, min_channels=16)
+    # strip: 204x236-in -> 20x52-out; tiles: two 204x204-in -> 20x20-out
+    # (the geometry is per-dimension: 204 = 16*9+60 -> 20, 236 = 16*11+60 -> 52)
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (78, 78), (94, 94)),
+                           mode="reflect"))[..., None]
+    assert x.shape[1:3] == (220, 252)
+    x = x[:, 8:212, 8:244, :]                       # [2, 204, 236, 1]
+    strip = np.asarray(qi.apply(x))                 # [2, 20, 52, 2]
+    tile_a = np.asarray(qi.apply(x[:, :, :204, :]))
+    tile_b = np.asarray(qi.apply(x[:, :, 32:, :]))
+    np.testing.assert_array_equal(strip[:, :, :20, :], tile_a)
+    np.testing.assert_array_equal(strip[:, :, 32:, :], tile_b)
+
+
+def test_fused_level0_forward_matches_unfused(trained_tiny):
+    """fused_enc0 + fused_concat (ops/fused_level0.py) reproduce the standard
+    int8 forward: identical predictions, logits within bf16 tolerance."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
+                               mode="reflect"))[..., None]
+    from tpu_unet.infer.quant import (QuantInference, add_concat_scales,
+                                      prepare_quant_params)
+
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              default_quant_names(model.cfg, 16))
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
+                           mode="reflect"))[..., None]
+    base = QuantInference(qp).apply(x)
+    fused = QuantInference(qp, fused_enc0=True, fused_concat=True).apply(x)
+    assert fused.shape == base.shape
+    pb = np.asarray(jnp.argmax(base, -1))
+    pf = np.asarray(jnp.argmax(fused, -1))
+    agree = (pb == pf).mean()
+    assert agree > 0.995, f"fused predictions diverge: {agree:.4f}"
+    # enc0 is quantized at min_channels=16 in this fixture? No: enc0_conv1
+    # has cin=1 < 16, enc0_conv2 cin=8... check fused path actually engaged
+    assert "enc0_conv1" not in qp.qnames

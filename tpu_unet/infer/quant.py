@@ -161,7 +161,9 @@ class QuantInference:
                  interpret: Optional[bool] = None,
                  layer_impl: Optional[Dict[str, str]] = None,
                  upconv_impl: str = "xla",
-                 pair_level0: bool = False):
+                 pair_level0: bool = False,
+                 fused_enc0: bool = False,
+                 fused_concat: bool = False):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
         self.qp = qp
@@ -170,6 +172,14 @@ class QuantInference:
         self.interpret = interpret
         self.layer_impl = dict(layer_impl or {})
         self.upconv_impl = upconv_impl
+        # Round-3 fused level-0 chain kernels (ops/fused_level0.py, VERDICT
+        # r2 item 2): `fused_enc0` runs enc0 conv1+conv2+pool0 (+ the paper-
+        # skip capture quantization) as ONE Pallas pass when those convs are
+        # float; `fused_concat` runs each quantized decoder concat +
+        # requantize as one VPU pass. Both exactness-tested vs the XLA
+        # composition (tests/test_fused_level0.py, tests/test_quant.py).
+        self.fused_enc0 = fused_enc0
+        self.fused_concat = fused_concat
         # XLA pads <128-channel convs to the 128-lane tile (a 64->64 conv
         # measures exactly the 128->128 cost, results/r2/shootout.txt), so
         # level 0 can fold TWO batch images into the channel dim with
@@ -313,7 +323,25 @@ class QuantInference:
         v, s = x.astype(jnp.bfloat16), None
         skips = []
         paired_skip = None
+        fused_enc0 = (self.fused_enc0 and stop_after is None and not pair0
+                      and cfg.skip_variant == "paper"
+                      and cfg.in_channels == 1
+                      and "enc0_conv1" not in qp.qnames
+                      and "enc0_conv2" not in qp.qnames)
         for d in range(cfg.depth):
+            if d == 0 and fused_enc0:
+                from tpu_unet.ops.fused_level0 import enc0_chain
+
+                k1, b1 = qp.fconv["enc0_conv1"]
+                k2, b2 = qp.fconv["enc0_conv2"]
+                key = "dec0_conv1:cat"
+                s_skip = (qp.scales[key] if "dec0_conv1" in qp.qnames
+                          and key in qp.scales else 0.0)
+                skip, v = enc0_chain(v, k1, b1, k2, b2, skip_scale=s_skip,
+                                     interpret=interp)
+                skips.append((skip, s_skip if s_skip else None))
+                s = None
+                continue
             if d == 0 and pair0:
                 vp = pair(v)
                 vp = self._conv_f("enc0_conv1", vp, paired=True)
@@ -419,8 +447,13 @@ class QuantInference:
                         jnp.round(sk.astype(jnp.float32) * ratio),
                         -127.0, 127.0).astype(jnp.int8)
                 sk_q = center_crop_or_pad(sk_q, u.shape[1:3])
-                cat = jnp.concatenate(
-                    [sk_q, quantize_activations(u, s_cat)], axis=-1)
+                if self.fused_concat:
+                    from tpu_unet.ops.fused_level0 import concat_quantize
+
+                    cat = concat_quantize(sk_q, u, s_cat, interpret=interp)
+                else:
+                    cat = jnp.concatenate(
+                        [sk_q, quantize_activations(u, s_cat)], axis=-1)
                 v, s = self._conv(name, cat, s_cat)
             else:
                 sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])
