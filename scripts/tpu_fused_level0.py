@@ -91,13 +91,16 @@ def main():
     t_xla = run("xla composed ", lambda v: sum(
         jnp.sum(o.astype(jnp.float32)) for o in xla_chain(v)), x)
     for br in map(int, args.block_rows.split(",")):
-        run(f"fused br={br:<3}", lambda v, _br=br: sum(
-            jnp.sum(o.astype(jnp.float32))
-            for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br)), x)
-        run(f"fused+q8 br={br}", lambda v, _br=br: sum(
-            jnp.sum(o.astype(jnp.float32))
-            for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br,
-                                skip_scale=0.02)), x)
+        for bc in (256, 512):
+            run(f"fused br={br} bc={bc}", lambda v, _br=br, _bc=bc: sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br,
+                                    block_cols=_bc)), x)
+            run(f"fused+q8 br={br} bc={bc}",
+                lambda v, _br=br, _bc=bc: sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br,
+                                        block_cols=_bc, skip_scale=0.02)), x)
 
     # -- B: dec0 concat+quantize --------------------------------------------
     m = n - 180  # dec0 resolution for this tile (1372 -> 1192)
@@ -115,7 +118,9 @@ def main():
     log(f"dec0 concat+quantize at [{b}, {m}, {m}, {c}]x2 -> int8 [.., 128]")
     run("xla cat+quant", lambda a_, b_: jnp.sum(
         xla_cat(a_, b_).astype(jnp.float32)), sk, u)
-    for br in (64, 128, 256):
+    # block VMEM = 2*br*W*C*2B in + br*W*2C out, double-buffered: br >= 64
+    # overruns VMEM at serving widths (first-shootout compile failures)
+    for br in (4, 8, 16, 32):
         run(f"fused cat br={br}", lambda a_, b_, _br=br: jnp.sum(
             concat_quantize(a_, b_, s_cat, block_rows=_br).astype(
                 jnp.float32)), sk, u)

@@ -103,3 +103,18 @@ def test_missing_key_raises():
         assert False, "should have raised"
     except KeyError as e:
         assert "conv11c" in str(e)
+
+
+def test_state_dict_roundtrip():
+    """state_dict_from_params is the exact inverse of
+    params_from_torch_state_dict (torch .pth export capability)."""
+    from tpu_unet.convert import state_dict_from_params
+
+    sd = _random_reference_state_dict(seed=5)
+    params = params_from_torch_state_dict(sd)
+    sd2 = state_dict_from_params(params)
+    import torch as _t
+    for k, v in sd.items():
+        np.testing.assert_array_equal(
+            np.asarray(v.numpy() if isinstance(v, _t.Tensor) else v),
+            sd2[k], err_msg=k)

@@ -116,3 +116,24 @@ def test_concat_quantize_mixed_int8_input():
                       ).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(got[..., :16]), np.asarray(a_q))
     np.testing.assert_array_equal(np.asarray(got[..., 16:]), np.asarray(want_b))
+
+
+def test_kernels_lower_for_tpu():
+    """Mosaic-lowering regression gate: both kernels must LOWER for the TPU
+    target (catches 'Only 2D gather is supported'-class rejections without
+    hardware — the lowering runs entirely on the host)."""
+    x = jnp.zeros((1, 36, 44, 1), jnp.float32)
+    w1 = jnp.zeros((3, 3, 1, 64))
+    b1 = jnp.zeros((64,))
+    w2 = jnp.zeros((3, 3, 64, 64))
+    b2 = jnp.zeros((64,))
+    for ss in (0.0, 0.02):
+        jax.jit(lambda x, _ss=ss: enc0_chain(x, w1, b1, w2, b2, block_rows=8,
+                                             skip_scale=_ss)
+                ).trace(x).lower(lowering_platforms=("tpu",))
+    a = jnp.zeros((1, 40, 48, 64), jnp.bfloat16)
+    q = jnp.zeros((1, 40, 48, 64), jnp.int8)
+    jax.jit(lambda a, b: concat_quantize(a, b, 0.02, block_rows=8)
+            ).trace(a, a).lower(lowering_platforms=("tpu",))
+    jax.jit(lambda a, b: concat_quantize(a, b, 0.02, block_rows=8)
+            ).trace(q, a).lower(lowering_platforms=("tpu",))

@@ -134,3 +134,23 @@ def test_evaluate_quant_int8(tiny_model, tmp_path):
     # base_width=2 quantizes nothing at min_channels=128 except via the
     # contract that the path still runs; predictions should match closely.
     assert abs(res["pe_mean"] - ref["pe_mean"]) < 0.05
+
+
+def test_strip_tiles_match_whole_image(tiny_model):
+    """Rectangular strip tiles (round-3 serving formulation): a plan whose
+    tile origins are all 16-aligned (multiples of 2^depth, so every tile
+    samples the same pooling grid) reproduces the whole-image pass. Image
+    52x68 with (52, 36) strips puts the second strip at x=32 — aligned —
+    so the stitched logits must match the single-tile plan. (Plans with
+    non-16-aligned clamped tiles legitimately differ in overlap regions —
+    inherent to overlap-tile, square or strip alike.)"""
+    model, params = tiny_model
+    img = np.random.RandomState(3).rand(52, 68).astype(np.float32)
+    whole = TileInference(model, 52, 68)               # one whole-image tile
+    strip = TileInference(model, 52, 68, tile_out=(52, 36))
+    assert strip.plan.num_tiles == 2
+    assert all(x % 16 == 0 for (_, x) in strip.plan.origins)
+    a = np.asarray(whole.predict_logits(params, img))
+    b = np.asarray(strip.predict_logits(params, img))
+    assert a.shape == b.shape == (52, 68, 2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

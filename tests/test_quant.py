@@ -287,3 +287,80 @@ def test_fused_level0_forward_matches_unfused(trained_tiny):
     # enc0 is quantized at min_channels=16 in this fixture? No: enc0_conv1
     # has cin=1 < 16, enc0_conv2 cin=8... check fused path actually engaged
     assert "enc0_conv1" not in qp.qnames
+
+
+@pytest.fixture(scope="module")
+def trained_parity_pth(tmp_path_factory):
+    """VERDICT r2 item 9: a checkpoint in the REFERENCE's weight regime —
+    parity init (first conv std sqrt(2), 2/sqrt(N) elsewhere,
+    /root/reference/network.py:60-105) and parity skips — trained on the
+    fixture task, exported to a torch ``.pth`` (convert.state_dict_from_params
+    + torch.save) and reloaded through convert.load_torch_checkpoint. The
+    int8 gate then runs on a weight distribution and geometry different from
+    trained_tiny's."""
+    import torch
+
+    from tpu_unet.convert import load_torch_checkpoint, state_dict_from_params
+
+    cfg = ModelConfig(base_width=8, init_scheme="parity",
+                      skip_variant="parity")
+    train_model = UNet(cfg)
+    model = UNet(ModelConfig(base_width=8, init_scheme="parity",
+                             skip_variant="parity", compute_dtype="bfloat16"))
+    data = synthetic_dataset(n_images=3, h=64, w=64, n_cells=4, crop=20, seed=9)
+    # the parity init (first conv std sqrt(2)) needs a hotter schedule to
+    # converge on the fixture task: lr 1e-2 x 600 reaches IoU ~0.98
+    tx = make_optimizer(OptimConfig(lr=1e-2, momentum=0.9))
+    params = train_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 188, 188, 1)))
+    state = TrainState(params, tx.init(params))
+    step = make_train_step(train_model, class_balance, "intended", tx)
+    imgs = data.images.astype(np.float32)
+    imgs = (imgs - imgs.min()) / np.ptp(imgs)
+    # parity skips need an even bottleneck resolution (odd l makes the skip
+    # one pixel short of the upconv output — the reference's truncating pad
+    # arithmetic, network.py:108-127, cannot join those either): 220-in
+    # (l=10) -> 36-out, supervised on the image's center 36x36 window.
+    inp = jnp.asarray(np.pad(imgs, ((0, 0), (78, 78), (78, 78)),
+                             mode="reflect"))[..., None]
+    gt = jnp.asarray((data.targets[:, 14:50, 14:50] > 0).astype(np.int32))
+    for _ in range(600):
+        state, loss, _ = step(state, inp, gt)
+
+    path = str(tmp_path_factory.mktemp("pth") / "unet_parity.pth")
+    torch.save({k: torch.tensor(v) for k, v in
+                state_dict_from_params(jax.device_get(state.params)).items()},
+               path)
+    params2 = jax.tree.map(jnp.asarray, load_torch_checkpoint(path))
+    return model, params2, imgs, data
+
+
+def test_quant_iou_gate_on_converted_pth(trained_parity_pth):
+    """The < 0.5% int8 IoU gate holds on the torch-roundtripped parity-regime
+    checkpoint too — quantization robustness is not specific to one weight
+    distribution (VERDICT r2 item 9)."""
+    model, params, imgs, data = trained_parity_pth
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # evaluate at the TRAINING geometry (220-in/36-out): parity skips embed
+    # half-res content in a zero canvas, so the function is not consistent
+    # across input sizes (the reference has the same property, SURVEY §2.1)
+    x = jnp.asarray(np.pad(imgs, ((0, 0), (78, 78), (78, 78)),
+                           mode="reflect"))[..., None]
+    pred_b = np.asarray(jnp.argmax(model.apply(bparams, x), -1))
+
+    qi = build_quant_inference(model, params, x, min_channels=16)
+    pred_q = np.asarray(jnp.argmax(qi.apply(x), -1))
+
+    def iou(pred, ref):
+        return (((pred != 0) & (ref != 0)).sum()
+                / max(((pred != 0) | (ref != 0)).sum(), 1))
+
+    gt = (data.targets[:, 14:50, 14:50] > 0)
+    fg = (pred_b != 0).mean()
+    assert fg > 0.01, f"bf16 model predicts {fg:.3%} foreground"
+    iou_b, iou_q = iou(pred_b, gt), iou(pred_q, gt)
+    assert iou_b > 0.4, f"parity model failed to learn (IoU {iou_b:.3f})"
+    drop = (iou_b - iou_q) / iou_b
+    assert drop < 0.005, (
+        f"int8 IoU degradation {drop:.2%} (bf16 {iou_b:.4f}, int8 {iou_q:.4f})")
+    assert iou(pred_q, pred_b) > 0.98

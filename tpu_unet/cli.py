@@ -52,8 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     # apart from "unset" (reference checkpoints need parity geometry).
     p.add_argument("--skip-variant", default=None, choices=["paper", "parity"])
     p.add_argument("--init", default="paper", choices=["paper", "parity"])
-    p.add_argument("--tile-out", type=int, default=None,
-                   help="overlap-tile output size for TESTING (default: whole image)")
+    def tile_out_arg(v):
+        """int ('516') or rectangular strip 'HxW' ('2372x1188')."""
+        if "x" in v:
+            h, w = v.split("x")
+            return (int(h), int(w))
+        return int(v)
+
+    p.add_argument("--tile-out", type=tile_out_arg, default=None,
+                   help="overlap-tile output size for TESTING: an int, or "
+                        "HxW for rectangular strip tiles (default: whole "
+                        "image)")
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="TESTING: serve through the int8 post-training-"
                         "quantized forward (TPU serving path, +32%% measured)")

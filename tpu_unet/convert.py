@@ -81,3 +81,32 @@ def load_torch_checkpoint(path: str) -> dict:
 
     sd = torch.load(path, map_location="cpu")
     return params_from_torch_state_dict(sd)
+
+
+def kernel_to_conv_weight(k: np.ndarray) -> np.ndarray:
+    """flax [kH, kW, I, O] -> torch Conv2d [O, I, kH, kW]."""
+    return np.transpose(k, (3, 2, 0, 1))
+
+
+def kernel_to_convtranspose_weight(k: np.ndarray) -> np.ndarray:
+    """flax ConvTranspose [kH, kW, I, O] (pre-flipped) -> torch
+    ConvTranspose2d [I, O, kH, kW]."""
+    return np.transpose(np.ascontiguousarray(k[::-1, ::-1]), (2, 3, 0, 1))
+
+
+def state_dict_from_params(params: Mapping) -> Dict[str, "np.ndarray"]:
+    """Inverse of ``params_from_torch_state_dict``: export tpu_unet params as
+    a reference-named torch-layout state_dict (numpy values; pass through
+    ``torch.save`` for a reference-consumable ``.pth``). Lets users move
+    models trained here back to the reference's torch stack."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+    for ref_name, (flax_name, is_t) in NAME_MAP.items():
+        if flax_name not in p:
+            raise KeyError(f"params missing {flax_name!r} — width/depth "
+                           f"mismatch with the reference topology?")
+        k = np.asarray(p[flax_name]["kernel"], np.float32)
+        sd[f"{ref_name}.weight"] = (kernel_to_convtranspose_weight(k) if is_t
+                                    else kernel_to_conv_weight(k))
+        sd[f"{ref_name}.bias"] = np.asarray(p[flax_name]["bias"], np.float32)
+    return sd

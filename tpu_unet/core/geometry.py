@@ -103,8 +103,8 @@ class TilePlan:
 
     image_h: int
     image_w: int
-    tile_in: int
-    tile_out: int
+    tile_in: "int | Tuple[int, int]"   # int (square) or (h, w) strip tiles
+    tile_out: "int | Tuple[int, int]"
     pad: int                     # mirror-pad margin before each axis (= context // 2)
     canvas_h: int                # stitched-output canvas (>= image; crop to image at the end)
     canvas_w: int
@@ -117,6 +117,16 @@ class TilePlan:
     def num_tiles(self) -> int:
         return len(self.origins)
 
+    @property
+    def tile_in_hw(self) -> Tuple[int, int]:
+        t = self.tile_in
+        return t if isinstance(t, tuple) else (t, t)
+
+    @property
+    def tile_out_hw(self) -> Tuple[int, int]:
+        t = self.tile_out
+        return t if isinstance(t, tuple) else (t, t)
+
 
 def _tile_starts(extent: int, tile: int) -> List[int]:
     """Output-window start offsets covering [0, extent) with stride `tile`,
@@ -128,20 +138,29 @@ def _tile_starts(extent: int, tile: int) -> List[int]:
     return starts
 
 
-def plan_tiles(image_h: int, image_w: int, tile_out: int, depth: int = DEPTH) -> TilePlan:
+def plan_tiles(image_h: int, image_w: int,
+               tile_out: "int | Tuple[int, int]",
+               depth: int = DEPTH) -> TilePlan:
     """Plan overlap-tile inference: tile the output domain by `tile_out`,
     mirror-pad by context/2 so every tile's input window exists.
 
     This is the true overlap-tile strategy of the paper (Fig. 2), which the
     reference approximates by one whole-image mirrored pass
-    (``data.py:169-191``, see SURVEY.md §2.3).
-    """
-    tile_in = input_size_for_output(tile_out, depth)
-    pad = (tile_in - tile_out) // 2
-    ys = _tile_starts(image_h, tile_out)
-    xs = _tile_starts(image_w, tile_out)
-    canvas_h = ys[-1] + tile_out          # >= image_h (tile may exceed the image)
-    canvas_w = xs[-1] + tile_out
+    (``data.py:169-191``, see SURVEY.md §2.3). `tile_out` may be an (h, w)
+    pair for rectangular STRIP tiles — a tall strip shares the halo context
+    its square sub-tiles would each re-read, cutting duplicated context
+    (valid convs make the strip forward exactly the union of the tile
+    forwards; round-3 serving formulation)."""
+    square = not isinstance(tile_out, tuple)
+    to_h, to_w = (tile_out, tile_out) if square else tile_out
+    ti_h = input_size_for_output(to_h, depth)
+    ti_w = input_size_for_output(to_w, depth)
+    tile_in = ti_h if square else (ti_h, ti_w)
+    pad = (ti_h - to_h) // 2
+    ys = _tile_starts(image_h, to_h)
+    xs = _tile_starts(image_w, to_w)
+    canvas_h = ys[-1] + to_h              # >= image_h (tile may exceed the image)
+    canvas_w = xs[-1] + to_w
     out_origins = tuple((y, x) for y in ys for x in xs)
     # The image sits at [pad, pad) in the padded frame, so the input window for
     # output origin (y, x) starts at the same (y, x) in padded coordinates.

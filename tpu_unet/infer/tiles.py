@@ -43,7 +43,10 @@ class TileInference:
                  normalize: bool = True, mesh=None, mesh_axis: str = "data",
                  apply_fn=None):
         """tile_out=None picks the whole-image single-tile plan (reference
-        behaviour-parity: ``data.py:184`` mirror pad + one forward).
+        behaviour-parity: ``data.py:184`` mirror pad + one forward); an
+        (h, w) pair plans rectangular STRIP tiles (round-3 serving
+        formulation: tall strips share halo context between the square
+        tiles they cover — core.geometry.plan_tiles).
 
         `mesh`: a jax.sharding.Mesh — tile batches are sharded over
         `mesh_axis` so one image's overlap tiles spread across the slice
@@ -78,9 +81,10 @@ class TileInference:
             ((p.pad, p.pad + p.canvas_h - p.image_h),
              (p.pad, p.pad + p.canvas_w - p.image_w)),
         )
+        ti_h, ti_w = p.tile_in_hw
         tiles = jnp.stack(
-            [padded[y:y + p.tile_in, x:x + p.tile_in] for (y, x) in p.origins]
-        )[..., None]                                   # [T, tin, tin, 1]
+            [padded[y:y + ti_h, x:x + ti_w] for (y, x) in p.origins]
+        )[..., None]                                   # [T, ti_h, ti_w, 1]
 
         t = p.num_tiles
         b = self.batch_tiles
@@ -88,7 +92,7 @@ class TileInference:
         pad_t = n_chunks * b - t
         if pad_t:
             tiles = jnp.concatenate([tiles, tiles[:pad_t]], axis=0)
-        chunks = tiles.reshape(n_chunks, b, p.tile_in, p.tile_in, 1)
+        chunks = tiles.reshape(n_chunks, b, ti_h, ti_w, 1)
 
         def fwd(tile_batch):
             if self.mesh is not None:
@@ -101,13 +105,14 @@ class TileInference:
                 logits = self.apply_fn(params, tile_batch)
             else:
                 logits = self.model.apply(params, tile_batch)
-            return center_crop_or_pad(logits, (p.tile_out, p.tile_out))
+            return center_crop_or_pad(logits, p.tile_out_hw)
 
+        to_h, to_w = p.tile_out_hw
         if n_chunks == 1:
             out = fwd(chunks[0])[None]
         else:
-            out = jax.lax.map(fwd, chunks)             # [n_chunks, b, tout, tout, C]
-        out = out.reshape(n_chunks * b, p.tile_out, p.tile_out, -1)[:t]
+            out = jax.lax.map(fwd, chunks)             # [n_chunks, b, toh, tow, C]
+        out = out.reshape(n_chunks * b, to_h, to_w, -1)[:t]
 
         canvas = jnp.zeros((p.canvas_h, p.canvas_w, out.shape[-1]), out.dtype)
         for i, (y, x) in enumerate(p.out_origins):

@@ -58,7 +58,7 @@ def _pack_tap_pairs(w2: jax.Array) -> jax.Array:
 
 
 def _enc0_kernel(x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, skip_ref, pool_ref,
-                 h1_ref, *, bh: int, wo: int, c: int,
+                 h1_ref, h2_ref, *, bh: int, wo: int, c: int,
                  inv_skip_scale: float = 0.0):
     """One (bh+4)-row slab -> bh skip rows + bh/2 pooled rows.
 
@@ -98,6 +98,7 @@ def _enc0_kernel(x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, skip_ref, pool_ref,
                             preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     h2 = jnp.maximum(acc + b2_ref[0][None, None, :], 0.0)       # [bh, wo] f32
+    h2_ref[...] = h2.astype(jnp.bfloat16)
     if inv_skip_scale:
         # paper-variant skip captured pre-quantized at the dec0 concat scale
         # (identical to quantize_activations on the bf16 skip): the int8
@@ -105,17 +106,19 @@ def _enc0_kernel(x_ref, w1_ref, b1_ref, w2p_ref, b2_ref, skip_ref, pool_ref,
         skip_ref[0] = jnp.clip(jnp.round(h2 * inv_skip_scale),
                                0.0, 127.0).astype(jnp.int8)
     else:
-        skip_ref[0] = h2.astype(jnp.bfloat16)
+        skip_ref[0] = h2_ref[...]
 
-    # 2x2/2 max-pool from VMEM: rows via outer-dim strided slices, columns
-    # via stride-2 sublane slices.
-    hr = jnp.maximum(h2[0::2], h2[1::2])                        # [bh/2, wo, c]
-    pool_ref[0] = jnp.maximum(hr[:, 0::2, :], hr[:, 1::2, :]).astype(
-        jnp.bfloat16)
+    # 2x2/2 max-pool from VMEM. The strided slices must read from a REF
+    # (strided vector loads) — on a computed value they lower to a gather,
+    # which Mosaic rejects ("Only 2D gather is supported").
+    pool_ref[0] = jnp.maximum(
+        jnp.maximum(h2_ref[0::2, 0::2, :], h2_ref[0::2, 1::2, :]),
+        jnp.maximum(h2_ref[1::2, 0::2, :], h2_ref[1::2, 1::2, :]))
 
 
 def enc0_chain(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
                b2: jax.Array, *, block_rows: int = 8,
+               block_cols: int = 512,
                skip_scale: float = 0.0,
                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """relu(conv1(x)), relu(conv2(.)) and its 2x2 max-pool in one fused pass.
@@ -123,7 +126,12 @@ def enc0_chain(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     x [B, H, W, 1] f32/bf16; w1 [3, 3, 1, C]; w2 [3, 3, C, C].
     Returns (skip [B, H-4, W-4, C] bf16, pooled [B, (H-4)/2, (W-4)/2, C]).
     `skip_scale` > 0 stores the skip as int8 quantized by that scale
-    (post-ReLU values are non-negative -> [0, 127])."""
+    (post-ReLU values are non-negative -> [0, 127]).
+
+    VMEM budget note: the f32 accumulators pad C=64 to 128 lanes, so the
+    per-block footprint is ~(2*bh+2) * bw * 128 * 4 B for accumulators plus
+    the bf16 scratches — full serving width (1368) blows VMEM (the round-3
+    shootout's Mosaic crashes); block_cols bounds it (512 -> ~10 MB)."""
     bsz, h, wd, cin = x.shape
     assert cin == 1, "enc0_chain fuses the single-channel stem"
     c = w1.shape[-1]
@@ -131,38 +139,43 @@ def enc0_chain(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     assert ho % 2 == 0 and wo % 2 == 0, (ho, wo)
 
     bh = block_rows
-    assert bh % 2 == 0
+    assert bh % 2 == 0 and block_cols % 16 == 0
     n_r = -(-ho // bh)
     ho_p = n_r * bh
-    # pad W so the padded output width is even and sublane-friendly
-    wo_p = _round_up(wo, 16)
-    wd_p = wo_p + 4
+    bw = min(block_cols, _round_up(wo, 16))
+    n_w = -(-wo // bw)
+    wo_p = n_w * bw
     x2 = x[..., 0]
-    if wd_p > wd or ho_p > ho:
-        x2 = jnp.pad(x2, ((0, 0), (0, ho_p - ho), (0, wd_p - wd)))
+    if wo_p + 4 > wd or ho_p > ho:
+        x2 = jnp.pad(x2, ((0, 0), (0, ho_p - ho), (0, wo_p + 4 - wd)))
 
-    # XLA pre-gathers overlapping (bh+4)-row slabs (same trick as
-    # ops/conv_tiles.py): the input is single-channel, so the (bh+4)/bh
+    # XLA pre-gathers overlapping (bh+4, bw+4) slabs (same trick as
+    # ops/conv_tiles.py): the input is single-channel, so the halo
     # duplication costs ~2 B/px — negligible against plain VMEM BlockSpecs.
     slabs = jax.vmap(
-        lambda b_: jnp.stack([lax.dynamic_slice_in_dim(x2[b_], r * bh, bh + 4)
-                              for r in range(n_r)]))(jnp.arange(bsz))
-    slabs = slabs.reshape(bsz * n_r, bh + 4, wd_p).astype(jnp.float32)
+        lambda b_: jnp.stack(
+            [lax.dynamic_slice(x2[b_], (r * bh, q * bw), (bh + 4, bw + 4))
+             for r in range(n_r) for q in range(n_w)]))(jnp.arange(bsz))
+    slabs = slabs.reshape(bsz * n_r * n_w, bh + 4, bw + 4).astype(jnp.float32)
 
     w1f = w1.reshape(9, c).astype(jnp.float32)
     w2p = _pack_tap_pairs(w2.astype(jnp.bfloat16))
     b1f = b1.reshape(1, c).astype(jnp.float32)
     b2f = b2.reshape(1, c).astype(jnp.float32)
 
-    kernel = functools.partial(_enc0_kernel, bh=bh, wo=wo_p, c=c,
+    kernel = functools.partial(_enc0_kernel, bh=bh, wo=bw, c=c,
                                inv_skip_scale=(1.0 / float(skip_scale)
                                                if skip_scale else 0.0))
     skip_dtype = jnp.int8 if skip_scale else jnp.bfloat16
+    # 3D grid writing each block straight to its (b, r*bh, q*bw) window —
+    # no post-hoc unblocking transpose (which would move the whole skip
+    # tensor through HBM again).
     skip, pooled = pl.pallas_call(
         kernel,
-        grid=(bsz * n_r,),
+        grid=(bsz, n_r, n_w),
         in_specs=[
-            pl.BlockSpec((1, bh + 4, wd_p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bh + 4, bw + 4),
+                         lambda b, r, q: (b * n_r * n_w + r * n_w + q, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -170,28 +183,28 @@ def enc0_chain(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bh, wo_p, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, bh, bw, c), lambda b, r, q: (b, r, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh // 2, wo_p // 2, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, bh // 2, bw // 2, c),
+                         lambda b, r, q: (b, r, q, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz * n_r, bh, wo_p, c), skip_dtype),
-            jax.ShapeDtypeStruct((bsz * n_r, bh // 2, wo_p // 2, c),
+            jax.ShapeDtypeStruct((bsz, ho_p, wo_p, c), skip_dtype),
+            jax.ShapeDtypeStruct((bsz, ho_p // 2, wo_p // 2, c),
                                  jnp.bfloat16),
         ),
-        scratch_shapes=[pltpu.VMEM((bh + 2, wo_p + 2, c), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((bh + 2, bw + 2, c), jnp.bfloat16),
+                        pltpu.VMEM((bh, bw, c), jnp.bfloat16)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * c * (1 + c) * bsz * n_r * bh * wo_p,
-            bytes_accessed=slabs.size * 4 + bsz * n_r * bh * wo_p * c * 2,
+            flops=2 * 9 * c * (1 + c) * bsz * n_r * n_w * bh * bw,
+            bytes_accessed=slabs.size * 4 + bsz * ho_p * wo_p * c * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(slabs, w1f, b1f, w2p, b2f)
 
-    skip = skip.reshape(bsz, ho_p, wo_p, c)[:, :ho, :wo]
-    pooled = pooled.reshape(bsz, ho_p // 2, wo_p // 2, c)[:, :ho // 2, :wo // 2]
-    return skip, pooled
+    return skip[:, :ho, :wo], pooled[:, :ho // 2, :wo // 2]
 
 
 def _concat_quant_kernel(a_ref, b_ref, o_ref, *, inv_scale: float):
@@ -208,14 +221,18 @@ def _concat_quant_kernel(a_ref, b_ref, o_ref, *, inv_scale: float):
 
 
 def concat_quantize(a: jax.Array, b: jax.Array, scale: float, *,
-                    block_rows: int = 128,
+                    block_rows: int = 8,
                     interpret: bool = False) -> jax.Array:
     """round(concat([a, b], -1) / scale) clamped to int8, in one VPU pass.
 
     a, b [B, H, W, C] bf16 (or int8, already at `scale`) -> [B, H, W, 2C]
     int8. The decoder's skip||upconv concat + requantize without
     materializing the bf16 concat (XLA emits the concat 4-10x off bandwidth
-    at serving widths); an int8 input half is copied through unchanged."""
+    at serving widths); an int8 input half is copied through unchanged.
+    block_rows stays small: the block VMEM footprint is
+    2 * br * W * C * 2B (inputs) + br * W * 2C (output), double-buffered —
+    br=8 at W=1192, C=64 is ~7 MB; br >= 64 overruns VMEM (the round-3
+    shootout's compile failures)."""
     assert a.shape == b.shape, (a.shape, b.shape)
     bsz, h, wd, c = a.shape
     bh = min(block_rows, h)
