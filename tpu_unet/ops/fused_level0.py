@@ -208,16 +208,16 @@ def enc0_chain(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
 
 
 def _concat_quant_kernel(a_ref, b_ref, o_ref, *, inv_scale: float):
-    c = a_ref.shape[-1]
-
     def q(ref):
         if ref.dtype == jnp.int8:      # already quantized at the same scale
             return ref[0]
         return jnp.clip(jnp.round(ref[0].astype(jnp.float32) * inv_scale),
                         -127.0, 127.0).astype(jnp.int8)
 
-    o_ref[0, :, :, :c] = q(a_ref)
-    o_ref[0, :, :, c:] = q(b_ref)
+    # Build the 2C-lane value in registers and store ONCE: two separate
+    # half-lane stores would each read-modify-write the full 128-lane tiles
+    # (measured 31 GB/s vs XLA's 55 on the first hardware round).
+    o_ref[0] = jnp.concatenate([q(a_ref), q(b_ref)], axis=-1)
 
 
 def concat_quantize(a: jax.Array, b: jax.Array, scale: float, *,
