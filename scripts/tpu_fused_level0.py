@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=1372,
                     help="enc0 input size (1372 = the 1188-out serving tile)")
-    ap.add_argument("--block-rows", default="8,16,32")
+    ap.add_argument("--block-rows", default="8,16")
     args = ap.parse_args()
 
     import jax
@@ -90,17 +90,48 @@ def main():
     # sum both outputs so neither is dead
     t_xla = run("xla composed ", lambda v: sum(
         jnp.sum(o.astype(jnp.float32)) for o in xla_chain(v)), x)
-    for br in map(int, args.block_rows.split(",")):
-        for bc in (256, 512):
-            run(f"fused br={br} bc={bc}", lambda v, _br=br, _bc=bc: sum(
-                jnp.sum(o.astype(jnp.float32))
-                for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br,
-                                    block_cols=_bc)), x)
-            run(f"fused+q8 br={br} bc={bc}",
-                lambda v, _br=br, _bc=bc: sum(
-                    jnp.sum(o.astype(jnp.float32))
-                    for o in enc0_chain(v, w1, b1, w2, b2, block_rows=_br,
-                                        block_cols=_bc, skip_scale=0.02)), x)
+
+    # correctness spot-check of the first compiling config before timing
+    def check(label, **kw):
+        try:
+            sk_f, pl_f = enc0_chain(x[:1, :188, :188], w1, b1, w2, b2, **kw)
+            sk_o, pl_o = xla_chain(x[:1, :188, :188])
+            e1 = float(jnp.max(jnp.abs(sk_f.astype(jnp.float32)
+                                       - sk_o.astype(jnp.float32))))
+            e2 = float(jnp.max(jnp.abs(pl_f.astype(jnp.float32)
+                                       - pl_o.astype(jnp.float32))))
+            log(f"  {label}: skip|err|={e1:.2e} pool|err|={e2:.2e}")
+            return True
+        except Exception as e:
+            log(f"  {label}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            return False
+
+    compiling = []
+    for pm in ("fused", "cols", "none"):
+        if check(f"spot-check pool_mode={pm}", pool_mode=pm):
+            compiling.append(pm)
+    # time the best in-kernel mode plus the first fallback tier below it
+    sweep = compiling[:2] if compiling and compiling[0] == "fused" \
+        else compiling
+    for pm in sweep:
+        for br in map(int, args.block_rows.split(",")):
+            for bc in (128, 256, 512):
+                ok = run(f"fused pm={pm} br={br} bc={bc}",
+                         lambda v, _pm=pm, _br=br, _bc=bc: sum(
+                             jnp.sum(o.astype(jnp.float32))
+                             for o in enc0_chain(v, w1, b1, w2, b2,
+                                                 block_rows=_br,
+                                                 block_cols=_bc,
+                                                 pool_mode=_pm)), x)
+                if ok is not None:
+                    run(f"fused+q8 pm={pm} br={br} bc={bc}",
+                        lambda v, _pm=pm, _br=br, _bc=bc: sum(
+                            jnp.sum(o.astype(jnp.float32))
+                            for o in enc0_chain(v, w1, b1, w2, b2,
+                                                block_rows=_br,
+                                                block_cols=_bc,
+                                                pool_mode=_pm,
+                                                skip_scale=0.02)), x)
 
     # -- B: dec0 concat+quantize --------------------------------------------
     m = n - 180  # dec0 resolution for this tile (1372 -> 1192)
@@ -120,7 +151,7 @@ def main():
         xla_cat(a_, b_).astype(jnp.float32)), sk, u)
     # block VMEM = 2*br*W*C*2B in + br*W*2C out, double-buffered: br >= 64
     # overruns VMEM at serving widths (first-shootout compile failures)
-    for br in (4, 8, 16, 32):
+    for br in (4, 8, 16):
         run(f"fused cat br={br}", lambda a_, b_, _br=br: jnp.sum(
             concat_quantize(a_, b_, s_cat, block_rows=_br).astype(
                 jnp.float32)), sk, u)

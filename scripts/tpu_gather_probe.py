@@ -31,6 +31,10 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,6 +81,19 @@ def main():
 
     t("bilinear 4-tap C=2 (workload)", jax.jit(bilin), src2, idx)
 
+    # 1b. pre-shifted-neighborhood stack: ONE take of [H*W, 4C] replaces the
+    # four point gathers (take cost measured per-point, channel-insensitive
+    # to >=8 lanes above). Bit-identical arithmetic to the 4-tap composite.
+    def bilin_stacked(s, i):
+        nb = jnp.concatenate(
+            [s, jnp.roll(s, -1, axis=0), jnp.roll(s, -S, axis=0),
+             jnp.roll(s, -(S + 1), axis=0)], axis=1)         # [H*W, 8]
+        g = jnp.take(nb, i, axis=0)
+        return (g[:, 0:2] * 0.25 + g[:, 2:4] * 0.25
+                + g[:, 4:6] * 0.25 + g[:, 6:8] * 0.25)
+
+    t("bilinear stacked 1-take C=2", jax.jit(bilin_stacked), src2, idx)
+
     # -- 2. row gather ------------------------------------------------------
     log("2. whole-row gathers [S rows of W] (2-pass decomposition bound):")
     img = jnp.ones((S, S), jnp.float32)
@@ -88,7 +105,8 @@ def main():
     # -- 3. Pallas in-kernel gather ----------------------------------------
     log("3. Pallas in-kernel gather (Mosaic support):")
     srcp = jnp.ones((S * S, 128), jnp.float32)
-    idx2d = idx.reshape(-1, 128) % (S * S)
+    n_pad = _round_up(n_pts, 128)
+    idx2d = jnp.pad(idx, (0, n_pad - n_pts)).reshape(-1, 128) % (S * S)
 
     def k_take(s_ref, i_ref, o_ref):
         # gather 128 rows (one index sublane) via jnp.take inside the kernel
@@ -152,10 +170,11 @@ def main():
     src = jnp.ones((388, 388, 2), jnp.float32)
     dx, dy = elastic_fields(jax.random.PRNGKey(1), (S, S), 200.0, 10.0)
 
-    f = jax.jit(lambda s, a, dx_, dy_: _fused_rotate_elastic_multi(
-        s, a, dx_, dy_, S, order=1))
-    t("fused warp 572^2 (1 sample, 2ch)", f, src,
-      jnp.float32(30.0), dx, dy)
+    for mode in ("take4", "stacked"):
+        f = jax.jit(lambda s, a, dx_, dy_, _m=mode: _fused_rotate_elastic_multi(
+            s, a, dx_, dy_, S, order=1, gather=_m))
+        t(f"fused warp 572^2 (1 sample, 2ch, {mode})", f, src,
+          jnp.float32(30.0), dx, dy)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,26 @@ def test_fused_warp_close_to_two_stage():
     assert np.corrcoef(fused[mask], two[mask])[0, 1] > 0.995
 
 
+def test_stacked_gather_matches_take4():
+    # The production stacked-neighborhood single-gather path must be
+    # bit-identical to the four-take formulation (same taps, same weights,
+    # same summation order — only the gather mechanism differs).
+    from tpu_unet.data.augment import _fused_rotate_elastic_multi
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.rand(72, 72, 2).astype(np.float32))
+    s = 96
+    dx = jnp.asarray(ndi.gaussian_filter(rng.randn(s, s), 8.0) * 25,
+                     jnp.float32)
+    dy = jnp.asarray(ndi.gaussian_filter(rng.randn(s, s), 8.0) * 25,
+                     jnp.float32)
+    for deg in (0.0, 30.0, 210.0):
+        a = _fused_rotate_elastic_multi(src, jnp.float32(deg), dx, dy, s,
+                                        gather="stacked")
+        b = _fused_rotate_elastic_multi(src, jnp.float32(deg), dx, dy, s,
+                                        gather="take4")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("fused", [True, False])
 def test_pipeline_both_paths(fused):
     data = synthetic_dataset(n_images=2, h=160, w=160, crop=64, seed=4)

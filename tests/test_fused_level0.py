@@ -3,6 +3,7 @@ compositions — interpret mode on CPU (same numerics path as the TPU
 compile, minus Mosaic)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,8 @@ def _xla_enc0(x, w1, b1, w2, b2):
     return h2, pooled
 
 
-def test_enc0_chain_matches_xla():
+@pytest.mark.parametrize("pool_mode", ["fused", "cols", "none"])
+def test_enc0_chain_matches_xla(pool_mode):
     key = jax.random.PRNGKey(0)
     c = 16
     x = jax.random.uniform(key, (2, 36, 44, 1), jnp.float32)
@@ -35,7 +37,8 @@ def test_enc0_chain_matches_xla():
     w2 = jax.random.normal(jax.random.fold_in(key, 3), (3, 3, c, c)) * 0.2
     b2 = jax.random.normal(jax.random.fold_in(key, 4), (c,)) * 0.1
 
-    skip, pooled = enc0_chain(x, w1, b1, w2, b2, block_rows=8, interpret=True)
+    skip, pooled = enc0_chain(x, w1, b1, w2, b2, block_rows=8,
+                              pool_mode=pool_mode, interpret=True)
     skip_ref, pooled_ref = _xla_enc0(x, w1, b1, w2, b2)
 
     assert skip.shape == (2, 32, 40, c) and skip.dtype == jnp.bfloat16

@@ -163,7 +163,8 @@ class QuantInference:
                  upconv_impl: str = "xla",
                  pair_level0: bool = False,
                  fused_enc0: bool = False,
-                 fused_concat: bool = False):
+                 fused_concat: bool = False,
+                 fused_enc0_opts: Optional[Dict[str, object]] = None):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
         self.qp = qp
@@ -180,6 +181,9 @@ class QuantInference:
         # composition (tests/test_fused_level0.py, tests/test_quant.py).
         self.fused_enc0 = fused_enc0
         self.fused_concat = fused_concat
+        # kernel tuning knobs for enc0_chain (block_rows/block_cols/
+        # pool_mode) — set from the hardware shootout's winner
+        self.fused_enc0_opts = dict(fused_enc0_opts or {})
         # XLA pads <128-channel convs to the 128-lane tile (a 64->64 conv
         # measures exactly the 128->128 cost, results/r2/shootout.txt), so
         # level 0 can fold TWO batch images into the channel dim with
@@ -338,7 +342,8 @@ class QuantInference:
                 s_skip = (qp.scales[key] if "dec0_conv1" in qp.qnames
                           and key in qp.scales else 0.0)
                 skip, v = enc0_chain(v, k1, b1, k2, b2, skip_scale=s_skip,
-                                     interpret=interp)
+                                     interpret=interp,
+                                     **self.fused_enc0_opts)
                 skips.append((skip, s_skip if s_skip else None))
                 s = None
                 continue
