@@ -129,9 +129,16 @@ def bench_train(args, model, cfg):
     lp = jnp.asarray(data.crop_log_probs)
     pairs = jnp.asarray(data.crop_pairs)
 
+    # device-resident batch indices: a numpy arg here costs a synchronous
+    # ~40 ms tunnel transfer PER STEP (measured: 75.4 ms/step with it,
+    # results/r3/bench_train_r3a.log, vs 22.7 ms device time in the
+    # component profile) — the trainer stages its epoch order the same way.
+    indices = jnp.asarray([0, 1], jnp.int32)
+    key0 = jax.random.PRNGKey(1)
+
     def one_step(state, i):
-        key = jax.random.fold_in(jax.random.PRNGKey(1), i)
-        inp, gt = pipe(images, targets, lp, pairs, np.array([0, 1]), key)
+        key = jax.random.fold_in(key0, i)
+        inp, gt = pipe(images, targets, lp, pairs, indices, key)
         state, loss, metrics = step(state, inp, gt)
         return state, loss
 

@@ -70,6 +70,26 @@ def test_num_valid_under_vmap():
     assert np.isinf(got[:, 1]).all()
 
 
+@pytest.mark.parametrize("band", [4, 12])
+def test_banded_column_pass(band):
+    # Banded pallas kernel == banded scan (both paths); both == exact
+    # wherever the exact distance is within the band.
+    masks = np.stack([_blobs(40, 48, 3, 0), _blobs(40, 48, 1, 7),
+                      np.zeros((40, 48), bool)])
+    m = jnp.asarray(masks)
+    exact = np.asarray(edt_batch(m, use_pallas=False))
+    b_scan = np.asarray(edt_batch(m, use_pallas=False, band=band))
+    b_pallas = np.asarray(edt_batch(m, use_pallas=True, interpret=True,
+                                    band=band))
+    np.testing.assert_allclose(b_pallas, b_scan, rtol=1e-5, atol=1e-5)
+    inside = exact <= band
+    np.testing.assert_allclose(b_scan[inside], exact[inside], rtol=1e-5,
+                               atol=1e-5)
+    # outside the band the result can only grow (min over a subset)
+    assert np.all(b_scan[~inside] >= exact[~inside] - 1e-4)
+    assert np.isinf(b_pallas[2]).all()
+
+
 def test_single_edt_unchanged():
     m = _blobs(32, 32, 2, 3)
     a = np.asarray(edt(jnp.asarray(m)))

@@ -178,6 +178,16 @@ def test_weighted_map_parity_int_wc():
     np.testing.assert_allclose(got[0], expected, rtol=1e-4, atol=1e-4)
 
 
+def test_weighted_map_banded_equals_exact():
+    # The default edt_band=40 changes the map by < 3e-13 of w0 relative to
+    # the exact full-height pass (border term is zero to f32 beyond d~30).
+    gt = _blob_labels(2, 96, 96, 2, seed=5)
+    banded = np.asarray(weighted_map(jnp.asarray(gt), max_objects=8))
+    exact = np.asarray(weighted_map(jnp.asarray(gt), max_objects=8,
+                                    edt_band=None))
+    np.testing.assert_allclose(banded, exact, rtol=1e-6, atol=1e-6)
+
+
 def test_weighted_map_empty_gt_no_nan():
     gt = np.zeros((1, 16, 16), np.int64)
     got = np.asarray(weighted_map(jnp.asarray(gt), max_objects=4))

@@ -79,9 +79,17 @@ def component_planes(
     channel split (``functions.py:50-52``).
     """
     lab = connected_components(fg)
-    # Unique component ids, ascending; sentinel (background) sorts last.
-    uniq = jnp.unique(lab, size=max_objects + 1, fill_value=_SENTINEL)
-    ids = uniq[:max_objects]                                  # [max_objects]
+    # Component ids ascending, without a sort: labels are component-min
+    # linear indices, so the K smallest distinct values fall out of K
+    # masked full-plane min reductions (jnp.unique lowers to a full bitonic
+    # sort of H*W elements on TPU — measured ~10x the cost of this scan,
+    # results/r3/weights_profile.txt). Identical ids: both produce the K
+    # smallest distinct labels, with _SENTINEL fill when fewer exist.
+    def _next_id(prev, _):
+        nxt = jnp.min(jnp.where(lab > prev, lab, _SENTINEL))
+        return nxt, nxt
+
+    _, ids = lax.scan(_next_id, -jnp.int32(1), None, length=max_objects)
     valid = ids != _SENTINEL
     planes = (lab[None, :, :] == ids[:, None, None]) & valid[:, None, None]
     num = jnp.sum(valid.astype(jnp.int32))

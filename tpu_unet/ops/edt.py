@@ -68,6 +68,23 @@ def _column_pass_from_g2(g2: jax.Array) -> jax.Array:
     return acc
 
 
+def _column_pass_banded_from_g2(g2: jax.Array, band: int) -> jax.Array:
+    """Banded (min, +): D^2[i, j] = min_{|d| <= band} (g2[i+d, j] + d^2),
+    scanning offsets of an inf-padded source (the XLA/CPU twin of the Pallas
+    banded kernel; exact wherever the true D^2 <= band^2)."""
+    h, w = g2.shape
+    g2p = jnp.pad(g2, ((band, band), (0, 0)), constant_values=jnp.inf)
+
+    def step(acc, d):
+        seg = lax.dynamic_slice(g2p, (d, 0), (h, w))
+        off = (d - band).astype(jnp.float32)
+        return jnp.minimum(acc, seg + off * off), None
+
+    init = jnp.full((h, w), jnp.inf, dtype=jnp.float32)
+    acc, _ = lax.scan(step, init, jnp.arange(2 * band + 1))
+    return acc
+
+
 def edt(mask: jax.Array) -> jax.Array:
     """Exact Euclidean distance from every pixel to the nearest True pixel.
 
@@ -81,7 +98,8 @@ def edt(mask: jax.Array) -> jax.Array:
 
 
 def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
-              interpret: bool = False, num_valid=None) -> jax.Array:
+              interpret: bool = False, num_valid=None,
+              band: int | None = None) -> jax.Array:
     """[N, H, W] bool -> [N, H, W] f32 exact EDT.
 
     On TPU the column pass runs as a VMEM-resident Pallas kernel
@@ -91,6 +109,12 @@ def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
 
     `num_valid` (traced scalar ok): planes at index >= num_valid are known
     empty (static padding) and shortcut to +inf in the Pallas path.
+
+    `band` (static): restrict the column pass to vertical offsets <= band.
+    Distances whose true value exceeds `band` may come back larger (up to
+    +inf); exact below it. Cuts column-pass work H/(2*band+1)-fold — used by
+    the weight maps, whose border term is exp(-d^2/50) and hence zero to
+    float precision beyond d ~ 30 (losses/weights.py).
     """
     g = jax.vmap(_row_distance)(masks)
     g2 = jnp.where(jnp.isinf(g), jnp.inf, g * g)
@@ -99,7 +123,10 @@ def edt_batch(masks: jax.Array, use_pallas: bool | None = None,
     if use_pallas:
         from tpu_unet.ops.edt_pallas import column_pass_pallas
 
-        d2 = column_pass_pallas(g2, num_valid=num_valid, interpret=interpret)
+        d2 = column_pass_pallas(g2, num_valid=num_valid, band=band,
+                                interpret=interpret)
+    elif band is not None:
+        d2 = jax.vmap(lambda x: _column_pass_banded_from_g2(x, band))(g2)
     else:
         d2 = jax.vmap(_column_pass_from_g2)(g2)
     return jnp.sqrt(d2)

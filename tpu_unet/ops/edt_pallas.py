@@ -50,31 +50,76 @@ def _col_pass_kernel(num_ref, g2_ref, out_ref):
         out_ref[0] = jnp.full((h, w), jnp.inf, jnp.float32)
 
 
+def _col_pass_banded_kernel(num_ref, g2p_ref, out_ref, *, band: int):
+    """Banded (min, +): D^2[i] = min_{|d| <= band} g2[i+d] + d^2, with the
+    source pre-padded by `band` rows of +inf on both sides so every offset
+    reads a full-height contiguous slice (no partial-range accumulator
+    updates, which Mosaic handles poorly). O(H * W * (2*band+1)) instead of
+    O(H^2 W)."""
+    h, w = out_ref.shape[-2], out_ref.shape[-1]
+    pid = pl.program_id(0)
+
+    @pl.when(pid < num_ref[0])
+    def _compute():
+        # fori_loop + dynamic-offset ref slice, NOT a static unroll: the
+        # unrolled form keeps tens of [h, w] slice temporaries live and
+        # blows the 16 MB scoped-VMEM stack at 388^2x32 planes (hardware
+        # compile failure, results/r3/bench_train_r3b.log round 3).
+        def body(k, acc):
+            seg = g2p_ref[0, pl.ds(k, h), :]
+            off = (k - band).astype(jnp.float32)
+            return jnp.minimum(acc, seg + off * off)
+
+        acc0 = jnp.full((h, w), jnp.inf, jnp.float32)
+        out_ref[0] = lax.fori_loop(0, 2 * band + 1, body, acc0)
+
+    @pl.when(pid >= num_ref[0])
+    def _skip():
+        out_ref[0] = jnp.full((h, w), jnp.inf, jnp.float32)
+
+
 def column_pass_pallas(g2: jax.Array, num_valid=None,
+                       band: int | None = None,
                        interpret: bool = False) -> jax.Array:
     """g2 [N, H, W] f32 per-row squared distances -> [N, H, W] f32 D^2.
 
     `num_valid` (scalar int32, default N): planes at index >= num_valid skip
-    the reduction and emit +inf directly."""
+    the reduction and emit +inf directly.
+
+    `band` (static int, default None = exact): restrict the row reduction to
+    vertical offsets |i - r| <= band. Any pixel whose true D^2 exceeds band^2
+    may come back larger (up to +inf) — callers that only consume distances
+    below a threshold (the weight map's exp(-d^2/2s^2) border term) lose
+    nothing and cut the column-pass work H/(2*band+1)-fold."""
     n, h, w = g2.shape
     if num_valid is None:
         num_valid = n
     num = jnp.asarray(num_valid, jnp.int32).reshape(1)
+    if band is not None:
+        g2 = jnp.pad(g2, ((0, 0), (band, band), (0, 0)),
+                     constant_values=jnp.inf)
+        kernel = functools.partial(_col_pass_banded_kernel, band=band)
+        in_block = (1, h + 2 * band, w)
+        flops = 2 * n * (2 * band + 1) * h * w
+    else:
+        kernel = _col_pass_kernel
+        in_block = (1, h, w)
+        flops = 3 * n * h * h * w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
+        in_specs=[pl.BlockSpec(in_block, lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _col_pass_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=3 * n * h * h * w,
+            flops=flops,
             bytes_accessed=2 * n * h * w * 4,
             transcendentals=0,
         ),

@@ -261,11 +261,17 @@ class Trainer:
                 order = np.resize(order, bs)
             n_batches = max(1, len(order) // bs)
             order = order[: n_batches * bs].reshape(n_batches, bs)
+            # One host->device upload per epoch, then device-side row slices:
+            # a per-batch numpy `idx` arg costs a *synchronous* transfer
+            # each step — ~40 ms on the tunnel backend, 2x the whole fused
+            # step (results/r3/train_profile2.txt vs bench_train_r3a).
+            order_dev = jnp.asarray(order, jnp.int32)
 
             losses, metrics_all = [], []
-            for bi, idx in enumerate(order):
+            for bi in range(n_batches):
                 key = jax.random.fold_in(rng, epoch * 1_000_003 + bi)
-                inp, gt = self.pipe(images, targets, log_probs, pairs, idx, key)
+                inp, gt = self.pipe(images, targets, log_probs, pairs,
+                                    order_dev[bi], key)
                 state, loss, metrics = self.train_step(state, inp, gt)
                 losses.append(loss)
                 metrics_all.append(metrics)
