@@ -50,28 +50,49 @@ def _col_pass_kernel(num_ref, g2_ref, out_ref):
         out_ref[0] = jnp.full((h, w), jnp.inf, jnp.float32)
 
 
-def _col_pass_banded_kernel(num_ref, g2p_ref, out_ref, *, band: int):
-    """Banded (min, +): D^2[i] = min_{|d| <= band} g2[i+d] + d^2, with the
-    source pre-padded by `band` rows of +inf on both sides so every offset
-    reads a full-height contiguous slice (no partial-range accumulator
-    updates, which Mosaic handles poorly). O(H * W * (2*band+1)) instead of
-    O(H^2 W)."""
+def _col_pass_banded_kernel(num_ref, g2p_ref, out_ref, *, band: int,
+                            block: int):
+    """Banded (min, +): D^2[i, j] = min_{|i-r| <= band} g2[r, j] + (i-r)^2.
+
+    Source pre-padded by `band` rows of +inf on both sides. Output rows are
+    processed in static blocks of `block`; each block's accumulator sees the
+    (block + 2*band) source rows that can reach it, read one row at a time
+    at a dynamic offset — the only gather form this remote Mosaic toolchain
+    accepts (a static 81-slice unroll blows the 16 MB scoped-VMEM stack,
+    results/r3/bench_train_r3b.log; a dynamic multi-row pl.ds fails remote
+    compilation, results/r3/weights_profile.txt). O(H * W * (block+2*band))
+    instead of the exact kernel's O(H^2 W)."""
     h, w = out_ref.shape[-2], out_ref.shape[-1]
     pid = pl.program_id(0)
 
     @pl.when(pid < num_ref[0])
     def _compute():
-        # fori_loop + dynamic-offset ref slice, NOT a static unroll: the
-        # unrolled form keeps tens of [h, w] slice temporaries live and
-        # blows the 16 MB scoped-VMEM stack at 388^2x32 planes (hardware
-        # compile failure, results/r3/bench_train_r3b.log round 3).
-        def body(k, acc):
-            seg = g2p_ref[0, pl.ds(k, h), :]
-            off = (k - band).astype(jnp.float32)
-            return jnp.minimum(acc, seg + off * off)
+        for b0 in range(0, h, block):
+            bsz = min(block, h - b0)
+            # block-local output-row index l; source row (padded coords)
+            # p = b0 + k <=> global r = b0 + k - band; d = i - r
+            # = l + band - k
+            lrows = lax.broadcasted_iota(jnp.int32, (bsz, w), 0
+                                         ).astype(jnp.float32)
 
-        acc0 = jnp.full((h, w), jnp.inf, jnp.float32)
-        out_ref[0] = lax.fori_loop(0, 2 * band + 1, body, acc0)
+            def body(k, acc):
+                seg = g2p_ref[0, b0 + k, :]
+                di = lrows + (band - k).astype(jnp.float32)
+                d2 = di * di
+                # rows of the block window below the band (the window covers
+                # k's full sweep for every l) must not contribute — keep the
+                # kernel bit-consistent with the banded scan path
+                cand = jnp.where(d2 <= jnp.float32(band * band),
+                                 d2 + seg[None, :], jnp.inf)
+                return jnp.minimum(acc, cand)
+
+            acc0 = jnp.full((bsz, w), jnp.inf, jnp.float32)
+            out_ref[0, b0:b0 + bsz, :] = lax.fori_loop(
+                0, bsz + 2 * band, body, acc0)
+
+    @pl.when(pid >= num_ref[0])
+    def _skip():
+        out_ref[0] = jnp.full((h, w), jnp.inf, jnp.float32)
 
     @pl.when(pid >= num_ref[0])
     def _skip():
@@ -98,7 +119,8 @@ def column_pass_pallas(g2: jax.Array, num_valid=None,
     if band is not None:
         g2 = jnp.pad(g2, ((0, 0), (band, band), (0, 0)),
                      constant_values=jnp.inf)
-        kernel = functools.partial(_col_pass_banded_kernel, band=band)
+        kernel = functools.partial(_col_pass_banded_kernel, band=band,
+                                   block=min(h, 32))
         in_block = (1, h + 2 * band, w)
         flops = 2 * n * (2 * band + 1) * h * w
     else:

@@ -4,10 +4,21 @@ The serving profile (results/r2/stage_profile.txt) puts 55% of the int8
 forward in the level-0 neighborhood, and every single-layer Pallas
 replacement measured SLOWER than XLA there (results/r2/shootout_enc0.txt).
 These layers are bandwidth/emitter-bound, not FLOP-bound — XLA's pool0 runs
-~4x off HBM bandwidth and its 1->64 conv ~30x off — so the remaining lever is
+~4x off HBM bandwidth and its 1->64 conv ~30x off — so the remaining lever was
 fusing the *chain* to cut HBM roundtrips (VERDICT r2 item 2). Reference
 workload: ``/root/reference/network.py:129-141`` (enc0 conv/conv/pool and the
 dec0 concat path).
+
+**MEASURED NEGATIVE — research path, default OFF.** The final hardware
+shootout (results/r3/fused_level0_shootout4.txt, b8x1372) has the best
+compiling fused config at 104.3 ms vs 29.7 ms for XLA's composed emitters
+(3.5x slower; the fused concat 14.5 vs 8.1 ms), and the in-kernel pool modes
+fail remote compilation outright. Mosaic's generated code at these
+shallow-channel shapes loses more than the saved HBM roundtrips gain —
+the same emitter gap as the round-2 single-layer kernels. Level 0 ships on
+XLA; these kernels stay as the tested record of the fused-chain experiment
+(`QuantInference(fused_enc0=True, fused_concat=True)` exercises them
+end-to-end, tests/test_quant.py::test_fused_level0_forward_matches_unfused).
 
 Formulation notes (results/r3/mosaic_probe.txt + mosaic_probe3.txt — what
 this remote Mosaic toolchain accepts): keep channels on the LANE dim and

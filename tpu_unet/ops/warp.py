@@ -220,7 +220,9 @@ def rotate_about_center(img: jax.Array, angle_deg: jax.Array, out_size: int,
 
     order=1 bilinear (default, composes into the fused single-gather path);
     order=3 cubic B-spline — the reference's ``scipy.ndimage.rotate`` default
-    (``data.py:116-117``). A/B measurement: results/r2/rotation_ab.md."""
+    (``data.py:116-117``). A/B measurement: results/r3/rotation_ab.md
+    (60-epoch convergence: IoU delta +0.0009 for cubic = noise; bilinear
+    stays the default at ~14x lower warp cost)."""
     si, sj = rotation_coords(out_size, img.shape, angle_deg)
     si = fold_reflect(si, img.shape[0])
     sj = fold_reflect(sj, img.shape[1])
