@@ -129,32 +129,41 @@ def bench_train(args, model, cfg):
     lp = jnp.asarray(data.crop_log_probs)
     pairs = jnp.asarray(data.crop_pairs)
 
-    # device-resident batch indices: a numpy arg here costs a synchronous
-    # ~40 ms tunnel transfer PER STEP (measured: 75.4 ms/step with it,
-    # results/r3/bench_train_r3a.log, vs 22.7 ms device time in the
-    # component profile) — the trainer stages its epoch order the same way.
+    # The measured unit is the Trainer's production epoch engine: lax.scan
+    # over n fused steps inside ONE compiled graph (trainer._epoch_scan).
+    # A host-side per-step loop pays 2-3 dispatch roundtrips per step on
+    # the tunnel backend (measured 69-75 ms/step vs 22.7 ms device time,
+    # results/r3/bench_train_r3a.log, r3c.log) and measures the transport,
+    # not the chip.
     indices = jnp.asarray([0, 1], jnp.int32)
     key0 = jax.random.PRNGKey(1)
+    n = args.iters
 
-    def one_step(state, i):
-        key = jax.random.fold_in(key0, i)
-        inp, gt = pipe(images, targets, lp, pairs, indices, key)
-        state, loss, metrics = step(state, inp, gt)
-        return state, loss
+    @jax.jit
+    def run_n(state, keys):
+        def body(st, key):
+            inp, gt = pipe._fn(images, targets, lp, pairs, indices, key)
+            st, loss, metrics = step(st, inp, gt)
+            return st, loss
 
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key0, i))(jnp.arange(n))
     log("compiling train step ...")
     t0 = time.perf_counter()
-    state, loss = one_step(state, 0)
-    float(loss)
-    log(f"compile+first step {time.perf_counter() - t0:.1f}s")
-    n = args.iters
+    state, losses = run_n(state, keys)
+    float(losses[-1])
+    log(f"compile+first epoch {time.perf_counter() - t0:.1f}s")
+
+    from tpu_unet.utils.profiling import measure_roundtrip
+    rt = measure_roundtrip()
+    log(f"tunnel roundtrip {rt*1e3:.1f} ms (subtracted from epoch timing)")
 
     def measure_once(state):
         t0 = time.perf_counter()
-        for i in range(1, n + 1):
-            state, loss = one_step(state, i)
-        float(loss)
-        dt = (time.perf_counter() - t0) / n
+        state, losses = run_n(state, keys)
+        float(losses[-1])
+        dt = max(time.perf_counter() - t0 - rt, 1e-9) / n
         sps = 1.0 / dt
         log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
             f"({sps * 2:.2f} samples/s, batch 2)")

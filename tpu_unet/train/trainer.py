@@ -170,6 +170,29 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.model, self.weight_fn, self.loss_cfg.weight_broadcast
         )
+        # Whole-epoch engine: lax.scan over the epoch's batches inside ONE
+        # compiled graph. A host-side per-batch loop costs 2-3 dispatches
+        # per step; on a remote/tunneled backend each dispatch can pay the
+        # transport roundtrip, which at ~33 ms is 2-3x the whole fused
+        # step's device time (results/r3/bench_train_r3c.log: 69.3 ms/step
+        # measured vs 22.7 ms device). On local hardware dispatch is ~50 us
+        # and this is neutral; either way the epoch is device-resident.
+        self._run_epoch = jax.jit(self._epoch_scan)
+
+    def _epoch_scan(self, state, images, targets, log_probs, pairs,
+                    order, keys):
+        """[n_batches] scanned train steps; returns (state, losses
+        [n_batches], metrics [n_batches * bs, k])."""
+
+        def body(st, xs):
+            idx, key = xs
+            inp, gt = self.pipe._fn(images, targets, log_probs, pairs,
+                                    idx, key)
+            st, loss, metrics = self.train_step(st, inp, gt)
+            return st, (loss, metrics)
+
+        state, (losses, metrics) = jax.lax.scan(body, state, (order, keys))
+        return state, losses, metrics.reshape(-1, metrics.shape[-1])
 
     # ------------------------------------------------------------- helpers
 
@@ -261,22 +284,17 @@ class Trainer:
                 order = np.resize(order, bs)
             n_batches = max(1, len(order) // bs)
             order = order[: n_batches * bs].reshape(n_batches, bs)
-            # One host->device upload per epoch, then device-side row slices:
-            # a per-batch numpy `idx` arg costs a *synchronous* transfer
-            # each step — ~40 ms on the tunnel backend, 2x the whole fused
-            # step (results/r3/train_profile2.txt vs bench_train_r3a).
+            # One host->device upload per epoch; the whole epoch then runs
+            # as a single scanned graph (see _epoch_scan).
             order_dev = jnp.asarray(order, jnp.int32)
+            keys = jax.vmap(
+                lambda b: jax.random.fold_in(rng, epoch * 1_000_003 + b)
+            )(jnp.arange(n_batches))
 
-            losses, metrics_all = [], []
-            for bi in range(n_batches):
-                key = jax.random.fold_in(rng, epoch * 1_000_003 + bi)
-                inp, gt = self.pipe(images, targets, log_probs, pairs,
-                                    order_dev[bi], key)
-                state, loss, metrics = self.train_step(state, inp, gt)
-                losses.append(loss)
-                metrics_all.append(metrics)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
-            train_metrics = np.asarray(jnp.concatenate(metrics_all, 0))
+            state, losses, metrics = self._run_epoch(
+                state, images, targets, log_probs, pairs, order_dev, keys)
+            train_loss = float(jnp.mean(losses))
+            train_metrics = np.asarray(metrics)
             if self.nan_check and not np.isfinite(train_loss):
                 raise FloatingPointError(f"non-finite training loss at epoch {epoch}")
             train_stats = EpochStats(
