@@ -178,15 +178,17 @@ def bisect():
         except Exception as e:
             log(f"  {label}: FAIL {type(e).__name__}: {str(e)[:100]}")
 
-    t("full step", lambda i, g: step(state, i, g)[1], inp, gt)
+    # full outputs returned everywhere — the timer chains its scan on every
+    # leaf, so partial returns would DCE the untimed remainder
+    t("full step", lambda i, g: step(state, i, g), inp, gt)
     t("weight_fn(gt)", lambda g: jnp.sum(weight_fn(g)), gt)
-    fwd = jax.jit(lambda p, i: jnp.sum(model.apply(p, i).astype(jnp.float32)))
-    t("fwd only", fwd, state.params, inp)
+    fwd = jax.jit(lambda i, p: jnp.sum(model.apply(p, i).astype(jnp.float32)))
+    t("fwd only", fwd, inp, state.params)
 
     wts = jax.block_until_ready(weight_fn(gt))
 
     @jax.jit
-    def fwd_bwd(p, i, g, w):
+    def fwd_bwd(i, p, g, w):
         def loss_fn(pp):
             logits = model.apply(pp, i)
             logits = center_crop_or_pad(logits, g.shape[1:3])
@@ -195,7 +197,7 @@ def bisect():
         return l + sum(jnp.sum(x.astype(jnp.float32))
                        for x in jax.tree.leaves(grads))
 
-    t("fwd+bwd (precomputed weights)", fwd_bwd, state.params, inp, gt, wts)
+    t("fwd+bwd (precomputed weights)", fwd_bwd, inp, state.params, gt, wts)
 
     @jax.jit
     def metrics_only(i, g):
@@ -207,13 +209,14 @@ def bisect():
     t("fwd + metrics", metrics_only, inp, gt)
 
     @jax.jit
-    def opt_only(st):
-        zeros = jax.tree.map(jnp.zeros_like, st.params)
+    def opt_only(i, st):
+        zeros = jax.tree.map(lambda x: jnp.zeros_like(x) + i[0, 0, 0, 0],
+                             st.params)
         updates, opt_state = tx.update(zeros, st.opt_state, st.params)
         return sum(jnp.sum(x.astype(jnp.float32))
                    for x in jax.tree.leaves(updates))
 
-    t("optimizer update only", opt_only, state)
+    t("optimizer update only", opt_only, inp, state)
 
 
 if __name__ == "__main__" and "--bisect" in sys.argv:

@@ -77,19 +77,39 @@ def main():
     inp = jax.block_until_ready(inp)
     t("weight maps (CC+EDT, 388^2 x2)", lambda g: weight_fn(g), gt)
 
-    def fwd_bwd(state, inp, gt):
-        s2, loss, _ = step(state, inp, gt)
-        return loss
-
+    # Return the FULL step output tuple: the timer chains its rep scan on
+    # every leaf, so a loss-only return would let XLA delete the backward
+    # and SGD update from the timed graph (the round-3 forward-only
+    # "9.85 ms core" artifact, results/r3/README.md).
     t("train core (fwd+bwd+loss+weights+SGD)",
-      lambda i, g: fwd_bwd(state, i, g), inp, gt)
+      lambda i, g: step(state, i, g), inp, gt)
 
     def full(state, k):
         i, g = pipe(images, targets, lp, pairs, idx, k)
-        _, loss, _ = step(state, i, g)
-        return loss
+        return step(state, i, g)
 
     t("full fused step (aug + core)", lambda k: full(state, k), key)
+
+    fwd = jax.jit(lambda i, p: model.apply(p, i))
+    t("forward only", fwd, inp, state.params)
+
+    # backward split: input-grads only (dgrad) vs the full param backward
+    from tpu_unet.losses import weighted_bce_with_logits
+    from tpu_unet.models.unet import center_crop_or_pad
+
+    wts = weight_fn(gt)
+
+    def loss_of(p, i, g, w):
+        logits = center_crop_or_pad(model.apply(p, i), g.shape[1:3])
+        return weighted_bce_with_logits(logits, g, w, "intended")
+
+    dgrad = jax.jit(lambda i, p, g, w: jax.grad(
+        lambda ii: loss_of(p, ii, g, w))(i))
+    t("fwd + dgrad (input grads only)", dgrad, inp, state.params, gt, wts)
+    wgrad = jax.jit(lambda i, p, g, w: jax.grad(
+        lambda pp: loss_of(pp, i, g, w))(p))
+    t("fwd + full param bwd (wgrad+dgrad)", wgrad, inp, state.params, gt,
+      wts)
 
     # augmentation internals: the warp gather alone at 572^2 x 2 channels
     from tpu_unet.data.augment import _fused_rotate_elastic_multi

@@ -96,11 +96,25 @@ def timeit_readback(fn, *args, n: int = 3, reps: int = 6,
         def run(*a):
             def body(c, _):
                 aa = list(a)
-                aa[0] = (aa[0] + c.astype(aa[0].dtype)) \
-                    if aa[0].dtype == jnp.int8 \
-                    else aa[0] + (c * 1e-30).astype(aa[0].dtype)
+                # Chain the carry into the first array leaf of the first
+                # argument (works for bare arrays and pytrees alike).
+                leaves, treedef = jax.tree.flatten(aa[0])
+                l0 = leaves[0]
+                leaves[0] = (l0 + c.astype(l0.dtype)) \
+                    if l0.dtype == jnp.int8 \
+                    else l0 + (c * 1e-30).astype(l0.dtype)
+                aa[0] = jax.tree.unflatten(treedef, leaves)
                 y = fn(*aa)
-                return jnp.sum(y.astype(jnp.float32)) * 1e-30, None
+                # Consume EVERY output leaf: anything the carry does not
+                # depend on is dead code inside this jit and XLA deletes it
+                # from the timed region. Round 3 burned itself here: step
+                # lambdas returning only the loss measured a forward-only
+                # "train step" (the whole backward+SGD was DCE'd) —
+                # results/r3/README.md. fn must still return every tensor
+                # whose cost it wants timed.
+                s = sum(jnp.sum(leaf.astype(jnp.float32))
+                        for leaf in jax.tree.leaves(y))
+                return s * 1e-30, None
             s, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
             return s
         return run
