@@ -66,20 +66,16 @@ def main():
         w = jax.random.normal(key, (3, 3, cin, cout), jnp.bfloat16)
         gy = jax.random.normal(key, (B, so, so, cout), jnp.bfloat16)
 
-        fwd = jax.jit(lambda x_, w_: lax.conv_general_dilated(
-            x_, w_, (1, 1), "VALID",
-            dimension_numbers=lax.conv_dimension_numbers(
-                x_.shape, w_.shape, ("NHWC", "HWIO", "NHWC")),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-        d1 = t(f"{name:9s} fwd   [{B},{s},{s},{cin}]->{cout}", fwd, x, w)
-
-        # dgrad/wgrad via jax.vjp on the same conv (what autodiff emits)
+        # plain bf16 conv (TPU accumulates f32 internally regardless); a
+        # f32-accum + cast wrapper makes jax.vjp emit mixed-dtype convs
         def conv(x_, w_):
             return lax.conv_general_dilated(
                 x_, w_, (1, 1), "VALID",
                 dimension_numbers=lax.conv_dimension_numbers(
-                    x_.shape, w_.shape, ("NHWC", "HWIO", "NHWC")),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                    x_.shape, w_.shape, ("NHWC", "HWIO", "NHWC")))
+
+        d1 = t(f"{name:9s} fwd   [{B},{s},{s},{cin}]->{cout}",
+               jax.jit(conv), x, w)
 
         dgrad = jax.jit(lambda g_, x_, w_: jax.vjp(
             lambda xx: conv(xx, w_), x_)[1](g_)[0])
