@@ -58,7 +58,8 @@ def main():
             log(f"  {label}: FAIL {type(e).__name__}: {str(e)[:90]}")
             return None
 
-    tot = {"fwd": 0.0, "dgrad": 0.0, "wgrad": 0.0, "wgrad_mm": 0.0}
+    tot = {"fwd": 0.0, "dgrad": 0.0, "wgrad": 0.0, "wgrad_mm": 0.0,
+           "dgrad_mm": 0.0}
     key = jax.random.PRNGKey(0)
     for name, s, cin, cout in layers:
         so = s - 2
@@ -84,25 +85,19 @@ def main():
             lambda ww: conv(x_, ww), w_)[1](g_)[0])
         d3 = t(f"{name:9s} wgrad", wgrad, gy, x, w)
 
-        # candidate: wgrad as ONE tall-skinny matmul over im2col patches
-        # patches [B*so*so, 9*cin] ^T @ gy [B*so*so, cout]
-        def wgrad_mm(g_, x_):
-            pats = jnp.stack(
-                [x_[:, dy:dy + so, dx:dx + so, :]
-                 for dy in range(3) for dx in range(3)], axis=3)
-            pats = pats.reshape(B * so * so, 9 * cin)
-            gf = g_.reshape(B * so * so, cout)
-            return lax.dot_general(
-                pats, gf, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).reshape(9, cin, cout)
+        # candidates (ops/conv_bwd.py): wgrad as ONE tall-skinny im2col
+        # matmul and dgrad as the flipped-kernel full correlation matmul
+        from tpu_unet.ops.conv_bwd import dgrad_mm, wgrad_mm
 
         d4 = t(f"{name:9s} wgrad-mm", jax.jit(wgrad_mm), gy, x)
+        d5 = t(f"{name:9s} dgrad-mm", jax.jit(dgrad_mm), gy, w)
         for k, d in (("fwd", d1), ("dgrad", d2), ("wgrad", d3),
-                     ("wgrad_mm", d4)):
+                     ("wgrad_mm", d4), ("dgrad_mm", d5)):
             if d:
                 tot[k] += d
     log(f"totals: fwd {tot['fwd']*1e3:.1f} ms, dgrad {tot['dgrad']*1e3:.1f}, "
-        f"wgrad {tot['wgrad']*1e3:.1f}, wgrad-mm {tot['wgrad_mm']*1e3:.1f}")
+        f"wgrad {tot['wgrad']*1e3:.1f}, wgrad-mm {tot['wgrad_mm']*1e3:.1f}, "
+        f"dgrad-mm {tot['dgrad_mm']*1e3:.1f}")
 
 
 if __name__ == "__main__":

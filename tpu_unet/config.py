@@ -59,6 +59,16 @@ class ModelConfig:
     # conv(up, W_u); the split form never materializes the concat tensor
     # (HBM traffic win at full resolution). Same parameter tree.
     split_concat_conv: bool = True
+    # Backward-pass backend for the 3x3 convs (ops/conv_bwd.py): 'xla'
+    # (default, plain autodiff) or 'mm'/'auto' (im2col-matmul gradients).
+    # Measured-negative e2e (results/r3/train_bwd_ab.txt, one session):
+    # xla 65.9 ms/step vs auto 73.4 / mm 86.4 — the per-layer wgrad
+    # pathology that motivated the matmul form (bwd_probe2.txt, enc1 wgrads
+    # 7-21 ms) was a degraded-window artifact (bwd_probe3.txt re-measured
+    # the same layers at 0.35 ms), and inside the fused step graph XLA's
+    # scheduling beats the patch-materializing matmuls. Kept as the tested
+    # research path.
+    conv_bwd: str = "xla"
 
     @property
     def widths(self) -> Tuple[int, ...]:

@@ -119,6 +119,35 @@ class _PallasConvRelu(nn.Module):
             bias.astype(self.dtype), interpret=interpret)
 
 
+class _Conv3x3CustomBwd(nn.Module):
+    """3x3 valid conv + bias with per-layer backward backend selection
+    (ops/conv_bwd.py): the forward is XLA's native conv; the weight and/or
+    input gradients are the im2col matmul formulations. Research path,
+    default OFF — the e2e A/B picked plain autodiff
+    (results/r3/train_bwd_ab.txt). Parameter tree matches nn.Conv
+    ({kernel, bias}), so checkpoints interoperate."""
+
+    features: int
+    wgrad: str = "mm"
+    dgrad: str = "xla"
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from tpu_unet.ops.conv_bwd import conv3x3_bias
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        return conv3x3_bias(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), wgrad=self.wgrad, dgrad=self.dgrad)
+
+
 def _conv3x3_valid(x: jax.Array, k: jax.Array) -> jax.Array:
     dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -247,6 +276,8 @@ class UNet(nn.Module):
         cfg = self.cfg
         if cfg.skip_variant not in ("paper", "parity"):
             raise ValueError(f"skip_variant must be 'paper' or 'parity', got {cfg.skip_variant!r}")
+        if cfg.conv_bwd not in ("auto", "mm", "xla"):
+            raise ValueError(f"conv_bwd must be 'auto', 'mm' or 'xla', got {cfg.conv_bwd!r}")
         # Reject sizes the valid-conv geometry can't carry (pooling would
         # silently floor odd extents and misalign the skips).
         from tpu_unet.core.geometry import output_size_for_input
@@ -271,6 +302,16 @@ class UNet(nn.Module):
                     feat, kernel_init=kinit, bias_init=binit, name=name,
                     dtype=cdt, param_dtype=pdt,
                 )(x)
+            if cfg.conv_bwd != "xla":
+                from tpu_unet.ops.conv_bwd import auto_wgrad_impl
+                wg = (auto_wgrad_impl(x.shape[1], x.shape[-1])
+                      if cfg.conv_bwd == "auto" else cfg.conv_bwd)
+                if wg == "mm":
+                    return _Conv3x3CustomBwd(
+                        feat, wgrad="mm", dgrad="xla", name=name,
+                        kernel_init=kinit, bias_init=binit,
+                        dtype=cdt, param_dtype=pdt,
+                    )(x)
             return nn.Conv(
                 feat, (3, 3), padding="VALID", name=name,
                 kernel_init=kinit, bias_init=binit,
