@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_SENTINEL = jnp.int32(2 ** 30)
+# Plain Python int: a module-level ``jnp.int32`` constant would initialise the
+# JAX backend at import time (a ~60-115 s TPU session grab, and an import-time
+# crash whenever the single-client chip is held elsewhere). ``jnp.full_like``
+# accepts the int directly.
+_SENTINEL = 2 ** 30
 
 
 def _neighbor_min(lab: jax.Array) -> jax.Array:
