@@ -364,3 +364,93 @@ def test_quant_iou_gate_on_converted_pth(trained_parity_pth):
     assert drop < 0.005, (
         f"int8 IoU degradation {drop:.2%} (bf16 {iou_b:.4f}, int8 {iou_q:.4f})")
     assert iou(pred_q, pred_b) > 0.98
+
+
+# --- phase-packed level 0 (ops/phase.py; QuantInference(phase_level0=)) -----
+
+def test_phase_bf16_matches_float_engine(trained_tiny):
+    """With no quantized layers, the packed formulation is a pure data
+    relabeling of the same bf16 arithmetic — logits must agree to bf16
+    rounding noise."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales, frozenset())
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (94, 94), (94, 94)),
+                           mode="reflect"))[..., None]
+    ref = QuantInference(qp, interpret=True).apply(x)
+    got = QuantInference(qp, interpret=True, phase_level0="bf16").apply(x)
+    assert got.shape == ref.shape
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.03 * scale, rtol=0)
+
+
+def test_phase_int8_iou_gate(trained_tiny):
+    """phase_level0='int8' quantizes the level-0 convs too (packed cin >=
+    128 at production width); hold it to the same <0.5% IoU gate as the
+    production int8 path."""
+    model, params, imgs, data = trained_tiny
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    pred_b, logit_b = _predict64(lambda x: model.apply(bparams, x), imgs)
+
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    qi = build_quant_inference(model, params, calib, min_channels=16,
+                               interpret=True, phase_level0="int8")
+    pred_q, logit_q = _predict64(qi.apply, imgs)
+
+    def iou(pred, ref):
+        return (((pred != 0) & (ref != 0)).sum()
+                / max(((pred != 0) | (ref != 0)).sum(), 1))
+
+    gt = (data.targets > 0)
+    iou_b, iou_q = iou(pred_b, gt), iou(pred_q, gt)
+    drop = (iou_b - iou_q) / max(iou_b, 1e-9)
+    assert drop < 0.005, (
+        f"phase-int8 IoU degradation {drop:.2%} "
+        f"(bf16 {iou_b:.4f}, phase-int8 {iou_q:.4f})")
+    assert iou(pred_q, pred_b) > 0.98
+    scale = np.abs(logit_b).max()
+    assert np.abs(logit_q - logit_b).max() < 0.2 * scale
+
+
+def test_phase_matches_production_int8_closely(trained_tiny):
+    """phase_level0='bf16' on the production qname set runs the SAME layers
+    in int8 (level 0 stays float) — only the dec0 concat quantization point
+    differs (split per-source scales vs the shared cat scale), so the two
+    engines must agree closely on logits."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              default_quant_names(model.cfg, 16))
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (94, 94), (94, 94)),
+                           mode="reflect"))[..., None]
+    ref = QuantInference(qp, interpret=True).apply(x)
+    got = QuantInference(qp, interpret=True, phase_level0="bf16").apply(x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) < 0.1 * scale
+
+
+def test_phase_level0_validation():
+    cfg = ModelConfig(base_width=8)
+    model = UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 188, 188, 1)))
+    scales = {"input": 1.0}
+    qp = prepare_quant_params(cfg, params, scales, frozenset())
+    with pytest.raises(ValueError):
+        QuantInference(qp, phase_level0="int4")
+    with pytest.raises(ValueError):
+        QuantInference(qp, phase_level0="bf16", pair_level0=True)
+    with pytest.raises(ValueError):
+        QuantInference(qp, phase_level0="int8")   # missing calibration scales
+    pcfg = ModelConfig(base_width=8, skip_variant="parity")
+    pmodel = UNet(pcfg)
+    pparams = pmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 188, 188, 1)))
+    pqp = prepare_quant_params(pcfg, pparams, scales, frozenset())
+    with pytest.raises(ValueError):
+        QuantInference(pqp, phase_level0="bf16")

@@ -164,9 +164,24 @@ class QuantInference:
                  pair_level0: bool = False,
                  fused_enc0: bool = False,
                  fused_concat: bool = False,
-                 fused_enc0_opts: Optional[Dict[str, object]] = None):
+                 fused_enc0_opts: Optional[Dict[str, object]] = None,
+                 phase_level0: Optional[str] = None):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
+        if phase_level0 not in (None, "bf16", "int8"):
+            raise ValueError(
+                f"phase_level0 must be None, 'bf16' or 'int8', got "
+                f"{phase_level0!r}")
+        if phase_level0 and (pair_level0 or fused_enc0 or fused_concat):
+            raise ValueError("phase_level0 is a level-0 formulation of its "
+                             "own; combine it with none of pair_level0/"
+                             "fused_enc0/fused_concat")
+        if phase_level0 and qp.cfg.skip_variant != "paper":
+            raise ValueError("phase_level0 requires the paper skip variant "
+                             "(the parity skip is captured post-pool, "
+                             "outside the packed domain)")
+        if phase_level0 and qp.cfg.in_channels != 1:
+            raise ValueError("phase_level0 expects the 1-channel input")
         self.qp = qp
         self.impl = impl
         self.block_rows = block_rows
@@ -193,6 +208,17 @@ class QuantInference:
         # cost more than the conv savings at serving shapes. Kept off by
         # default as a documented, tested, measured-negative option.
         self.pair_level0 = pair_level0
+        # Phase packing (ops/phase.py): run the level-0 neighborhood on the
+        # 2x2 space-to-depth relabeling — 3x3 convs become 2x2 convs at 4x
+        # the channels (full MXU lanes, and the int8-profitable cin>=128
+        # regime), pool0 a channel max, up0 one matmul, and the decoder
+        # concat two split-kernel convs (each source keeps its own
+        # activation scale; nothing is requantized). 'bf16' packs only the
+        # float convs; 'int8' additionally quantizes enc0_conv2/dec0_conv2
+        # (packed cin = 4*w0 >= 128). Exactness: tests/test_phase.py +
+        # tests/test_quant.py; hardware verdict in results/r3/.
+        self.phase_level0 = phase_level0
+        self._phase = self._phase_prep(phase_level0) if phase_level0 else None
 
     # -- primitives ---------------------------------------------------------
 
@@ -213,6 +239,167 @@ class QuantInference:
         z = jnp.zeros_like(k)
         return jnp.concatenate([jnp.concatenate([k, z], -1),
                                 jnp.concatenate([z, k], -1)], -2)
+
+    def _phase_prep(self, mode: str) -> Dict[str, object]:
+        """Host-side (once per engine) packing of the level-0 parameters
+        into their phase-domain forms — see ops/phase.py for the math.
+        Channel convention is phase-major ((p*2+q)*C + c), so every bias /
+        scale vector lifts by ``np.tile(v, 4)``."""
+        from tpu_unet.ops.phase import (phase_head_kernel, phase_pack_kernel,
+                                        phase_upconv_weights)
+
+        qp = self.qp
+        w0 = qp.cfg.widths[0]
+        if mode == "int8" or "dec0_conv1" in qp.qnames:
+            missing = [k for k in ("enc0_conv1", "enc0_conv2", "up0",
+                                   "dec0_conv1", "dec0_conv2")
+                       if k not in qp.scales]
+            if missing:
+                raise ValueError(
+                    "phase_level0 needs the full calibration scale set "
+                    f"(calibrate() records it); missing: {missing}")
+        P: Dict[str, object] = {"mode": mode}
+
+        def packed_f(kernel, bias):
+            k = jnp.asarray(phase_pack_kernel(np.asarray(kernel, np.float32)),
+                            jnp.bfloat16)
+            return k, jnp.asarray(np.tile(np.asarray(bias, np.float32), 4))
+
+        def packed_q(kernel, bias, s_in_key: str, out_key: str):
+            """Quantize a float level-0 kernel per output channel, pack it,
+            and fold the scales into the int8 epilogue vectors."""
+            w_q, s_w = quantize_weights(jnp.asarray(kernel, jnp.float32))
+            wp = jnp.asarray(phase_pack_kernel(
+                np.asarray(w_q, np.int32)).astype(np.int8))
+            s_in = qp.scales[s_in_key]
+            s_out = qp.scales[out_key]
+            alpha = np.tile(np.asarray(s_in * s_w, np.float32) / s_out, 4)
+            beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
+            return wp, jnp.asarray(alpha), jnp.asarray(beta), s_out
+
+        # enc0_conv1 always runs bf16 (packed cin is 4)
+        k1, b1 = qp.fconv["enc0_conv1"]
+        P["enc0_conv1"] = packed_f(k1, b1)
+
+        def level0_pair(name: str, s_in_key: str):
+            if name in qp.qnames:        # reuse the production int8 weights
+                w_q, s_w, bias = qp.qconv[name]
+                wp = jnp.asarray(phase_pack_kernel(
+                    np.asarray(w_q, np.int32)).astype(np.int8))
+                s_in = qp.scales[s_in_key]
+                s_out = qp.scales[name]
+                alpha = np.tile(np.asarray(s_in * s_w, np.float32) / s_out, 4)
+                beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
+                return ("int8", wp, jnp.asarray(alpha), jnp.asarray(beta),
+                        s_out)
+            k, b = qp.fconv[name]
+            if mode == "int8":
+                return ("int8",) + packed_q(k, b, s_in_key, name)
+            return ("bf16",) + packed_f(k, b)
+
+        P["enc0_conv2"] = level0_pair("enc0_conv2", "enc0_conv1")
+        P["dec0_conv2"] = level0_pair("dec0_conv2", "dec0_conv1")
+
+        # up0 as one matmul: [w(d1), 4*w0] packed, output already in phase
+        ku, bu = qp.fconv["up0"]
+        m, bm = phase_upconv_weights(np.asarray(ku, np.float32),
+                                     np.asarray(bu, np.float32))
+        P["up0"] = (jnp.asarray(m, jnp.bfloat16), jnp.asarray(bm))
+
+        # dec0_conv1 split by source (skip | up — the production concat
+        # order), each half packed separately; int8 halves share the full
+        # kernel's per-output-channel weight scales.
+        if "dec0_conv1" in qp.qnames:
+            w_q, s_w, bias = qp.qconv["dec0_conv1"]
+            wsk = jnp.asarray(phase_pack_kernel(
+                np.asarray(w_q[:, :, :w0], np.int32)).astype(np.int8))
+            wup = jnp.asarray(phase_pack_kernel(
+                np.asarray(w_q[:, :, w0:], np.int32)).astype(np.int8))
+            s_sk = qp.scales["enc0_conv2"]
+            s_up = qp.scales["up0"]
+            s_out = qp.scales["dec0_conv1"]
+            a_sk = np.tile(np.asarray(s_sk * s_w, np.float32) / s_out, 4)
+            a_up = np.tile(np.asarray(s_up * s_w, np.float32) / s_out, 4)
+            beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
+            P["dec0_conv1"] = ("int8", wsk, wup, jnp.asarray(a_sk),
+                               jnp.asarray(a_up), jnp.asarray(beta), s_out,
+                               s_sk, s_up)
+        else:
+            k, b = qp.fconv["dec0_conv1"]
+            ksk, bb = packed_f(np.asarray(k, np.float32)[:, :, :w0], b)
+            kup, _ = packed_f(np.asarray(k, np.float32)[:, :, w0:],
+                              np.zeros_like(np.asarray(b)))
+            P["dec0_conv1"] = ("bf16", ksk, kup, bb)
+
+        kh, bh = qp.fconv["head"]
+        P["head"] = (jnp.asarray(phase_head_kernel(
+            np.asarray(kh, np.float32)), jnp.bfloat16),
+            jnp.asarray(np.tile(np.asarray(bh, np.float32), 4)))
+        return P
+
+    def _phase_dec0(self, v, s, skip, cut):
+        """Packed-domain dec0: up0 as one matmul (output already packed),
+        concat as two split-kernel convs (each source at its own scale),
+        packed dec0 convs + head, depth-to-space only on the logits."""
+        from tpu_unet.ops.phase import conv2x2_valid, depth_to_space
+
+        qp = self.qp
+        P = self._phase
+        km, bm = P["up0"]
+        vin = self._deq(v, s).astype(jnp.bfloat16)
+        u = jax.lax.dot_general(
+            vin, km, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u = (u + bm).astype(jnp.bfloat16)      # packed [.., 4*w0], signed
+        if cut("up0", u):
+            return u
+        sk_p, sk_s = skip
+        mgp = (sk_p.shape[1] - u.shape[1]) // 2
+        sl = slice(mgp, -mgp) if mgp else slice(None)
+        skc = sk_p[:, sl, sl, :]
+
+        spec = P["dec0_conv1"]
+        if spec[0] == "int8":
+            (_, wsk, wup, a_sk, a_up, beta, s_out, s_sk, s_up) = spec
+            sk_q = skc if sk_s is not None else quantize_activations(skc, s_sk)
+            u_q = quantize_activations(u, s_up)
+            acc = (conv2x2_valid(sk_q, wsk, jnp.int32).astype(jnp.float32)
+                   * a_sk
+                   + conv2x2_valid(u_q, wup, jnp.int32).astype(jnp.float32)
+                   * a_up)
+            y = jnp.maximum(acc + beta, 0.0)
+            v = jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
+            s = s_out
+        else:
+            _, ksk, kup, bb = spec
+            skb = self._deq(skc, sk_s).astype(jnp.bfloat16)
+            acc = (conv2x2_valid(skb, ksk, jnp.float32)
+                   + conv2x2_valid(u, kup, jnp.float32))
+            v = jnp.maximum(acc + bb, 0.0).astype(jnp.bfloat16)
+            s = None
+        if cut("dec0_conv1", v):               # packed
+            return v
+
+        spec = P["dec0_conv2"]
+        if spec[0] == "int8":
+            _, wp, alpha, beta, s_out = spec
+            if s is None:
+                v = quantize_activations(v, qp.scales["dec0_conv1"])
+            v = conv3x3_int8_xla(v, wp, alpha, beta, out_kind="int8")
+            s = s_out
+        else:
+            _, kp, bp = spec
+            vb = self._deq(v, s).astype(jnp.bfloat16)
+            y = conv2x2_valid(vb, kp, jnp.float32)
+            v = jnp.maximum(y + bp, 0.0).astype(jnp.bfloat16)
+            s = None
+        if cut("dec0_conv2", v):               # packed
+            return v
+
+        kh, bh = P["head"]
+        vb = self._deq(v, s).astype(jnp.bfloat16)
+        y = conv2x2_valid(vb, kh, jnp.float32) + bh
+        return depth_to_space(y)
 
     def _conv_f(self, name: str, v: jax.Array, paired: bool = False) -> jax.Array:
         k, b = self.qp.fconv[name]
@@ -333,6 +520,42 @@ class QuantInference:
                       and "enc0_conv1" not in qp.qnames
                       and "enc0_conv2" not in qp.qnames)
         for d in range(cfg.depth):
+            if d == 0 and self._phase is not None:
+                from tpu_unet.ops.phase import phase_pool, space_to_depth
+
+                P = self._phase
+                p = space_to_depth(v)          # [B, H/2, W/2, 4]
+                k1p, b1p = P["enc0_conv1"]
+                dn = jax.lax.conv_dimension_numbers(
+                    p.shape, k1p.shape, ("NHWC", "HWIO", "NHWC"))
+                y = jax.lax.conv_general_dilated(
+                    p, k1p, (1, 1), "VALID", dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                y = jnp.maximum(y + b1p, 0.0).astype(jnp.bfloat16)
+                if cut("enc0_conv1", y):       # NOTE: packed [.., 4*w0]
+                    return y
+                spec = P["enc0_conv2"]
+                if spec[0] == "int8":
+                    _, wp, alpha, beta, s_out = spec
+                    vq = quantize_activations(y, qp.scales["enc0_conv1"])
+                    v = conv3x3_int8_xla(vq, wp, alpha, beta, out_kind="int8")
+                    s = s_out
+                else:
+                    _, kp, bp = spec
+                    dn = jax.lax.conv_dimension_numbers(
+                        y.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
+                    v = jax.lax.conv_general_dilated(
+                        y, kp, (1, 1), "VALID", dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    v = jnp.maximum(v + bp, 0.0).astype(jnp.bfloat16)
+                    s = None
+                if cut("enc0_conv2", v):       # packed
+                    return v
+                skips.append((v, s))           # packed skip, own scale
+                v = phase_pool(v)              # exits the packed domain
+                if cut("pool0", v):
+                    return v
+                continue
             if d == 0 and fused_enc0:
                 from tpu_unet.ops.fused_level0 import enc0_chain
 
@@ -387,6 +610,8 @@ class QuantInference:
             return v
 
         for d in reversed(range(cfg.depth)):
+            if d == 0 and self._phase is not None:
+                return self._phase_dec0(v, s, skips[0], cut)
             k, b = qp.fconv[f"up{d}"]
             vin = self._deq(v, s)
             if self.upconv_impl == "matmul":
@@ -577,6 +802,7 @@ def build_quant_inference(model, params, sample_batch,
                           block_rows: Optional[int] = None,
                           interpret: Optional[bool] = None,
                           layer_impl: Optional[Dict[str, str]] = None,
+                          phase_level0: Optional[str] = None,
                           ) -> QuantInference:
     """Calibrate + quantize + build in one step."""
     cfg = model.cfg
@@ -584,4 +810,5 @@ def build_quant_inference(model, params, sample_batch,
     qnames = default_quant_names(cfg, min_channels)
     qp = prepare_quant_params(cfg, params, scales, qnames)
     return QuantInference(qp, impl=impl, block_rows=block_rows,
-                          interpret=interpret, layer_impl=layer_impl)
+                          interpret=interpret, layer_impl=layer_impl,
+                          phase_level0=phase_level0)
