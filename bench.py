@@ -225,6 +225,11 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="enable the fused level-0 Pallas kernels in the "
                          "int8 path (enc0 chain + decoder concat+quantize)")
+    ap.add_argument("--phase", default="off", choices=["off", "bf16", "int8"],
+                    help="run level 0 of the int8 serving path in the "
+                         "phase-packed (space-to-depth) formulation "
+                         "(ops/phase.py): 2x2 convs at 4x channels, pool as "
+                         "channel max, up0 as matmul, concat eliminated")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
 
@@ -371,17 +376,20 @@ def main():
         # calibration+quantization depend only on impl, not the tile shape:
         # build once per impl (a sweep would otherwise re-calibrate per
         # candidate per retry)
-        if impl not in _qi_cache:
+        phase = None if args.phase == "off" else args.phase
+        key = (impl, phase)
+        if key not in _qi_cache:
             from tpu_unet.infer.quant import build_quant_inference
 
             calib = jax.random.uniform(jax.random.PRNGKey(2),
                                        (2, 444, 444, 1), jnp.float32)
             qi = build_quant_inference(model, params, calib, impl=impl,
-                                       min_channels=128, interpret=False)
+                                       min_channels=128, interpret=False,
+                                       phase_level0=phase)
             qi.pair_level0 = args.pair0
             qi.fused_enc0 = qi.fused_concat = args.fused
-            _qi_cache[impl] = qi
-        return _qi_cache[impl].apply
+            _qi_cache[key] = qi
+        return _qi_cache[key].apply
 
     # With the default lists later candidates are compile-safe FALLBACKS
     # (stop at first success); an explicit --candidates is a sweep — measure
@@ -421,11 +429,13 @@ def main():
                     # must not silently drop the headline mode
                     for attempt in (1, 2):
                         try:
+                            tag = (f"int8-{impl}" if args.phase == "off"
+                                   else f"int8-{impl}+phase:{args.phase}")
                             tps = bench_batch(b, tout,
                                               apply_fn=make_int8_apply(impl),
-                                              label=f" int8-{impl}")
+                                              label=f" {tag}")
                             if tps > best:
-                                best, best_mode = tps, f"int8-{impl}-{b}x{fmt(tout)}"
+                                best, best_mode = tps, f"{tag}-{b}x{fmt(tout)}"
                             got = True
                             break
                         except Exception as e:
@@ -445,7 +455,7 @@ def main():
     gated = (not args.candidates and not args.batch and not args.no_int8
              and not args.skip_bf16 and args.dtype == "bfloat16"
              and not args.pair0 and not args.fused and args.width_mult == 1
-             and args.int8_impls == "xla")
+             and args.int8_impls == "xla" and args.phase == "off")
     healthy_ref = healthy_reference("infer")
     attempts = []
     best, best_mode = 0.0, "bf16"

@@ -136,6 +136,18 @@ def test_evaluate_quant_int8(tiny_model, tmp_path):
     assert abs(res["pe_mean"] - ref["pe_mean"]) < 0.05
 
 
+def test_evaluate_quant_int8_phase(tiny_model, tmp_path):
+    # 'int8-phase' routes level 0 through the phase-packed formulation
+    # (ops/phase.py) inside the same evaluate contract.
+    model, params = tiny_model
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20,
+                             seed=5)
+    ref = evaluate(model, params, data, verbose=False)
+    res = evaluate(model, params, data, verbose=False, quant="int8-phase")
+    assert res["num_images"] == 2
+    assert abs(res["pe_mean"] - ref["pe_mean"]) < 0.05
+
+
 def test_strip_tiles_match_whole_image(tiny_model):
     """Rectangular strip tiles (round-3 serving formulation): a plan whose
     tile origins are all 16-aligned (multiples of 2^depth, so every tile

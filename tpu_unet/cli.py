@@ -63,9 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="overlap-tile output size for TESTING: an int, or "
                         "HxW for rectangular strip tiles (default: whole "
                         "image)")
-    p.add_argument("--quant", default=None, choices=["int8"],
+    p.add_argument("--quant", default=None, choices=["int8", "int8-phase"],
                    help="TESTING: serve through the int8 post-training-"
-                        "quantized forward (TPU serving path, +32%% measured)")
+                        "quantized forward (TPU serving path, +32%% "
+                        "measured); 'int8-phase' additionally runs level 0 "
+                        "phase-packed (ops/phase.py)")
     p.add_argument("--nan-check", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],

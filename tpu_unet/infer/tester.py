@@ -75,7 +75,8 @@ def _params_fingerprint(params) -> float:
     return float(fp(params))
 
 
-def _get_quant_inference(model, params, prepared, quant_path: Optional[str]):
+def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
+                         phase_level0: Optional[str] = None):
     """Calibrated QuantInference, cached so repeat evaluations re-use both the
     quantized params and the jitted engines (VERDICT r2: each int8 evaluation
     used to re-run full-float calibration and re-jit per shape group).
@@ -89,22 +90,25 @@ def _get_quant_inference(model, params, prepared, quant_path: Optional[str]):
         load_quant_params, prepare_quant_params, save_quant_params)
 
     if quant_path is not None:
-        key = ("path", os.path.abspath(quant_path))
+        key = ("path", os.path.abspath(quant_path), phase_level0)
         qi = _QUANT_CACHE.get(key)
         if qi is None:
             if os.path.exists(quant_path) or os.path.exists(quant_path + ".npz"):
-                qi = QuantInference(load_quant_params(quant_path))
+                qi = QuantInference(load_quant_params(quant_path),
+                                    phase_level0=phase_level0)
             else:
                 calib = calibration_batch([p[0] for p in prepared])
-                qi = build_quant_inference(model, params, calib)
+                qi = build_quant_inference(model, params, calib,
+                                           phase_level0=phase_level0)
                 save_quant_params(quant_path, qi.qp)
             _QUANT_CACHE[key] = qi
         return qi, key
-    key = ("params", model.cfg, _params_fingerprint(params))
+    key = ("params", model.cfg, _params_fingerprint(params), phase_level0)
     qi = _QUANT_CACHE.get(key)
     if qi is None:
         calib = calibration_batch([p[0] for p in prepared])
-        qi = build_quant_inference(model, params, calib)
+        qi = build_quant_inference(model, params, calib,
+                                   phase_level0=phase_level0)
         _QUANT_CACHE[key] = qi
     return qi, key
 
@@ -124,9 +128,12 @@ def evaluate(
 
     `quant='int8'` serves through the post-training-quantized forward
     (infer/quant.py) — the measured +36% serving path; gated at < 0.5% IoU
-    drop by tests/test_quant.py. Calibration and engines are cached across
-    calls; `quant_path` serves from (or creates) a serialized QuantParams
-    .npz so repeat servings never re-calibrate.
+    drop by tests/test_quant.py. `quant='int8-phase'` additionally runs
+    level 0 in the phase-packed formulation (ops/phase.py), quantizing the
+    packed level-0 convs too (same IoU gate, tests/test_quant.py).
+    Calibration and engines are cached across calls; `quant_path` serves
+    from (or creates) a serialized QuantParams .npz so repeat servings
+    never re-calibrate.
     """
     start = time.time()
     # Group same-shaped frames so each shape runs as ONE vmapped program.
@@ -137,11 +144,14 @@ def evaluate(
         groups.setdefault(img.shape, []).append(idx)
 
     apply_fn, qkey = None, None
-    if quant == "int8":
-        qi, qkey = _get_quant_inference(model, params, prepared, quant_path)
+    if quant in ("int8", "int8-phase"):
+        phase = "int8" if quant == "int8-phase" else None
+        qi, qkey = _get_quant_inference(model, params, prepared, quant_path,
+                                        phase_level0=phase)
         apply_fn = lambda _p, tiles: qi.apply(tiles)
     elif quant is not None:
-        raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+        raise ValueError(
+            f"quant must be None, 'int8' or 'int8-phase', got {quant!r}")
 
     per_image = [None] * len(data)
     for shape, indices in groups.items():
