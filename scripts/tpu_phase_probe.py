@@ -80,7 +80,7 @@ def main():
     if "--tile" in args:
         tile = int(args[args.index("--tile") + 1])
     sections = [a for a in args if not a.startswith("--")
-                and not a.isdigit()] or ["atoms", "enc", "dec"]
+                and not a.isdigit()] or ["atoms", "enc", "dec", "lvl1"]
 
     from tpu_unet.ops.phase import (conv2x2_valid, depth_to_space, phase_pool,
                                     space_to_depth)
@@ -284,6 +284,46 @@ def main():
 
         timed("split (no concat) int8x2+bf16conv+head     ", dec0_split,
               xd, sk8, kt, kc1a, kc1b, kc2, khd, chain_arg=2)
+
+
+    if "lvl1" in sections:
+        # Recursive application: pack level 1 the same way (pool0 output
+        # re-packed, pool1 consumes it). Wins only if the 2x2 rates at
+        # 512-ch beat 1.78x the current per-layer rates.
+        log(f"== level-1 atoms, b{b} x {tile}-in ==")
+        e1 = sd2                   # 684 level-1 input
+        a512 = jnp.ones((512,), jnp.float32) * 1e-3
+        z512 = jnp.zeros((512,), jnp.float32)
+        cases = [
+            # (label, current?, shape args)
+            ("cur enc1_conv1 3x3  64->128 bf16", "bf", e1, 64, 128, 3),
+            ("cur enc1_conv2 3x3 128->128 int8", "i8", e1 - 2, 128, 128, 3),
+            ("pck enc1_conv1 2x2 256->512 int8", "i8", e1 // 2, 256, 512, 2),
+            ("pck enc1_conv2 2x2 512->512 int8", "i8", e1 // 2 - 1, 512, 512,
+             2),
+            ("cur dec1_conv1 3x3 256->128 int8", "i8", su + 4, 256, 128, 3),
+            ("cur dec1_conv2 3x3 128->128 int8", "i8", su + 2, 128, 128, 3),
+            ("pck dec1_conv1 2x2 1024->512 int8", "i8", (su + 4) // 2, 1024,
+             512, 2),
+            ("pck dec1_conv2 2x2 512->512 int8", "i8", (su + 2) // 2, 512,
+             512, 2),
+        ]
+        for label, kind, ss, ci, co, kk in cases:
+            fl = gf(b, ss - kk + 1, kk * kk, ci, co)
+            if kind == "bf":
+                x = rbf(50, (b, ss, ss, ci))
+                w = rbf(51, (kk, kk, ci, co))
+                timed(label, lambda x, w: conv3(
+                    x, w, jnp.float32).astype(jnp.bfloat16), x, w, flops=fl)
+            else:
+                x = ri8(52, (b, ss, ss, ci))
+                w = ri8(53, (kk, kk, ci, co))
+                av = a512[:co]
+                bv = z512[:co]
+                timed(label, lambda x, w, a, be: epilogue_i8(conv3(
+                    x, w, jnp.int32), a, be), x, w, av, bv, chain_arg=2,
+                    flops=fl)
+            del x, w
 
 
 if __name__ == "__main__":

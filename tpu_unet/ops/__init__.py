@@ -1,4 +1,11 @@
 from tpu_unet.ops.edt import edt, edt_batch
+from tpu_unet.ops.phase import (
+    depth_to_space,
+    phase_pack_kernel,
+    phase_pool,
+    phase_upconv_weights,
+    space_to_depth,
+)
 from tpu_unet.ops.cc import connected_components, component_planes
 from tpu_unet.ops.morphology import dilate, binary_threshold
 from tpu_unet.ops.pad import reflect_pad, fold_reflect
