@@ -274,3 +274,27 @@ def test_mesh_sharded_quant_inference_matches_single_device(tiny):
     a = np.asarray(single.predict_logits(params, img))
     b = np.asarray(meshed.predict_logits(replicate(params, mesh), img))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_phase_inference_matches_single_device(tiny):
+    # The phase-packed level-0 serving formulation (ops/phase.py) composes
+    # with the mesh-sharded tile engine exactly like the plain int8 path.
+    from tpu_unet.infer import TileInference
+    from tpu_unet.infer.quant import build_quant_inference
+
+    model, params = tiny
+    img = np.random.RandomState(13).rand(72, 72).astype(np.float32)
+    calib = jnp.asarray(img[None, :64, :64])
+    calib = jnp.pad(calib, ((0, 0), (62, 62), (62, 62)),
+                    mode="reflect")[..., None]
+    qi = build_quant_inference(model, params, calib, min_channels=4,
+                               phase_level0="int8")
+    apply_fn = lambda _p, tiles: qi.apply(tiles)
+    single = TileInference(model, 72, 72, tile_out=36, batch_tiles=4,
+                           apply_fn=apply_fn)
+    mesh = make_mesh(4)
+    meshed = TileInference(model, 72, 72, tile_out=36, batch_tiles=4,
+                           mesh=mesh, apply_fn=apply_fn)
+    a = np.asarray(single.predict_logits(params, img))
+    b = np.asarray(meshed.predict_logits(replicate(params, mesh), img))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
