@@ -232,6 +232,10 @@ def main():
                          "channel max, up0 as matmul, concat eliminated")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
+    if args.phase != "off" and (args.pair0 or args.fused):
+        ap.error("--phase is a level-0 formulation of its own; it cannot "
+                 "combine with --pair0/--fused (QuantInference rejects the "
+                 "combination)")
 
     import jax
 

@@ -11,7 +11,7 @@ composed chains against the production ops, same session, chained-reps
 timing (tpu_quant_probe.timeit).
 
 Usage: python scripts/tpu_phase_probe.py [--batch 8] [--tile 1372]
-       [section ...]   sections: atoms enc dec  (default: all)
+       [section ...]   sections: atoms enc dec lvl1  (default: all)
 """
 
 import os
@@ -61,9 +61,16 @@ def gf(b, s_out, kk, cin, cout):
 
 
 def timed(label, fn, *args, chain_arg=None, flops=None):
-    """timeit with per-entry failure isolation (remote compiles can 500)."""
+    """timeit with per-entry failure isolation (remote compiles can 500)
+    and adaptive reps: cheap atoms (s2d, phase_pool) re-measure with enough
+    chained reps that the device work dominates the ~30 ms tunnel roundtrip
+    (the CLAUDE.md short-probe rule)."""
     try:
-        dt = qp.timeit(jax.jit(fn), *args, chain_arg=chain_arg)
+        f = jax.jit(fn)
+        dt = qp.timeit(f, *args, chain_arg=chain_arg)
+        if dt * 8 < 3 * (qp.ROUNDTRIP or 0):
+            reps = min(512, int(3 * qp.ROUNDTRIP / max(dt, 1e-6)) + 8)
+            dt = qp.timeit(f, *args, chain_arg=chain_arg, reps=reps)
         extra = f" {tflops(dt, flops):6.1f} T/s" if flops else ""
         log(f"  {label} {dt*1e3:7.2f} ms{extra}")
         return dt
@@ -160,8 +167,12 @@ def main():
                   preferred_element_type=jnp.float32).astype(jnp.bfloat16),
               xd, kt)
         km = rbf(10, (128, 256))
+        bm = jnp.zeros((256,), jnp.float32)
         timed(f"up0 packed matmul  [{su}^2,128->256p]",
-              lambda x, k: (x @ k), xd, km)
+              lambda x, k, bb: (lax.dot_general(
+                  x, k, (((3,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32) + bb
+                  ).astype(jnp.bfloat16), xd, km, bm, chain_arg=1)
         del xd, kt, km
 
         # head + final d2s on logits

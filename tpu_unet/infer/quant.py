@@ -265,37 +265,38 @@ class QuantInference:
                             jnp.bfloat16)
             return k, jnp.asarray(np.tile(np.asarray(bias, np.float32), 4))
 
-        def packed_q(kernel, bias, s_in_key: str, out_key: str):
-            """Quantize a float level-0 kernel per output channel, pack it,
-            and fold the scales into the int8 epilogue vectors."""
-            w_q, s_w = quantize_weights(jnp.asarray(kernel, jnp.float32))
-            wp = jnp.asarray(phase_pack_kernel(
+        def pack_i8(w_q):
+            return jnp.asarray(phase_pack_kernel(
                 np.asarray(w_q, np.int32)).astype(np.int8))
-            s_in = qp.scales[s_in_key]
-            s_out = qp.scales[out_key]
+
+        def fold(s_in: float, s_w, bias, s_out: float):
+            """Lift the int8 epilogue vectors to the packed channel order:
+            y = relu(acc * alpha + beta), alpha = s_in*s_w/s_out."""
             alpha = np.tile(np.asarray(s_in * s_w, np.float32) / s_out, 4)
             beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
-            return wp, jnp.asarray(alpha), jnp.asarray(beta), s_out
+            return jnp.asarray(alpha), jnp.asarray(beta)
 
         # enc0_conv1 always runs bf16 (packed cin is 4)
+        if "enc0_conv1" in qp.qnames:
+            raise ValueError(
+                "phase_level0 runs enc0_conv1 in bf16 (its packed cin is 4 "
+                "— far below the int8-profitable contraction depth); build "
+                "the QuantParams with enc0_conv1 outside qnames")
         k1, b1 = qp.fconv["enc0_conv1"]
         P["enc0_conv1"] = packed_f(k1, b1)
 
         def level0_pair(name: str, s_in_key: str):
             if name in qp.qnames:        # reuse the production int8 weights
                 w_q, s_w, bias = qp.qconv[name]
-                wp = jnp.asarray(phase_pack_kernel(
-                    np.asarray(w_q, np.int32)).astype(np.int8))
-                s_in = qp.scales[s_in_key]
-                s_out = qp.scales[name]
-                alpha = np.tile(np.asarray(s_in * s_w, np.float32) / s_out, 4)
-                beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
-                return ("int8", wp, jnp.asarray(alpha), jnp.asarray(beta),
-                        s_out)
-            k, b = qp.fconv[name]
-            if mode == "int8":
-                return ("int8",) + packed_q(k, b, s_in_key, name)
-            return ("bf16",) + packed_f(k, b)
+            elif mode == "int8":
+                k, b = qp.fconv[name]
+                w_q, s_w = quantize_weights(jnp.asarray(k, jnp.float32))
+                bias = b
+            else:
+                return ("bf16",) + packed_f(*qp.fconv[name])
+            alpha, beta = fold(qp.scales[s_in_key], s_w, bias,
+                               qp.scales[name])
+            return ("int8", pack_i8(w_q), alpha, beta, qp.scales[name])
 
         P["enc0_conv2"] = level0_pair("enc0_conv2", "enc0_conv1")
         P["dec0_conv2"] = level0_pair("dec0_conv2", "dec0_conv1")
@@ -311,19 +312,14 @@ class QuantInference:
         # kernel's per-output-channel weight scales.
         if "dec0_conv1" in qp.qnames:
             w_q, s_w, bias = qp.qconv["dec0_conv1"]
-            wsk = jnp.asarray(phase_pack_kernel(
-                np.asarray(w_q[:, :, :w0], np.int32)).astype(np.int8))
-            wup = jnp.asarray(phase_pack_kernel(
-                np.asarray(w_q[:, :, w0:], np.int32)).astype(np.int8))
             s_sk = qp.scales["enc0_conv2"]
             s_up = qp.scales["up0"]
             s_out = qp.scales["dec0_conv1"]
-            a_sk = np.tile(np.asarray(s_sk * s_w, np.float32) / s_out, 4)
-            a_up = np.tile(np.asarray(s_up * s_w, np.float32) / s_out, 4)
-            beta = np.tile(np.asarray(bias, np.float32) / s_out, 4)
-            P["dec0_conv1"] = ("int8", wsk, wup, jnp.asarray(a_sk),
-                               jnp.asarray(a_up), jnp.asarray(beta), s_out,
-                               s_sk, s_up)
+            a_sk, beta = fold(s_sk, s_w, bias, s_out)
+            a_up, _ = fold(s_up, s_w, bias, s_out)
+            P["dec0_conv1"] = ("int8", pack_i8(w_q[:, :, :w0]),
+                               pack_i8(w_q[:, :, w0:]), a_sk, a_up, beta,
+                               s_out, s_sk, s_up)
         else:
             k, b = qp.fconv["dec0_conv1"]
             ksk, bb = packed_f(np.asarray(k, np.float32)[:, :, :w0], b)
@@ -341,7 +337,8 @@ class QuantInference:
         """Packed-domain dec0: up0 as one matmul (output already packed),
         concat as two split-kernel convs (each source at its own scale),
         packed dec0 convs + head, depth-to-space only on the logits."""
-        from tpu_unet.ops.phase import conv2x2_valid, depth_to_space
+        from tpu_unet.ops.phase import (conv2x2_valid, depth_to_space,
+                                        phase_crop)
 
         qp = self.qp
         P = self._phase
@@ -354,9 +351,9 @@ class QuantInference:
         if cut("up0", u):
             return u
         sk_p, sk_s = skip
-        mgp = (sk_p.shape[1] - u.shape[1]) // 2
-        sl = slice(mgp, -mgp) if mgp else slice(None)
-        skc = sk_p[:, sl, sl, :]
+        # full-res margin = packed-size difference; phase_crop enforces the
+        # even-parity invariant
+        skc = phase_crop(sk_p, sk_p.shape[1] - u.shape[1])
 
         spec = P["dec0_conv1"]
         if spec[0] == "int8":
@@ -521,16 +518,13 @@ class QuantInference:
                       and "enc0_conv2" not in qp.qnames)
         for d in range(cfg.depth):
             if d == 0 and self._phase is not None:
-                from tpu_unet.ops.phase import phase_pool, space_to_depth
+                from tpu_unet.ops.phase import (conv2x2_valid, phase_pool,
+                                                space_to_depth)
 
                 P = self._phase
                 p = space_to_depth(v)          # [B, H/2, W/2, 4]
                 k1p, b1p = P["enc0_conv1"]
-                dn = jax.lax.conv_dimension_numbers(
-                    p.shape, k1p.shape, ("NHWC", "HWIO", "NHWC"))
-                y = jax.lax.conv_general_dilated(
-                    p, k1p, (1, 1), "VALID", dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
+                y = conv2x2_valid(p, k1p, jnp.float32)
                 y = jnp.maximum(y + b1p, 0.0).astype(jnp.bfloat16)
                 if cut("enc0_conv1", y):       # NOTE: packed [.., 4*w0]
                     return y
@@ -542,11 +536,7 @@ class QuantInference:
                     s = s_out
                 else:
                     _, kp, bp = spec
-                    dn = jax.lax.conv_dimension_numbers(
-                        y.shape, kp.shape, ("NHWC", "HWIO", "NHWC"))
-                    v = jax.lax.conv_general_dilated(
-                        y, kp, (1, 1), "VALID", dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
+                    v = conv2x2_valid(y, kp, jnp.float32)
                     v = jnp.maximum(v + bp, 0.0).astype(jnp.bfloat16)
                     s = None
                 if cut("enc0_conv2", v):       # packed
