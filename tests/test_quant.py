@@ -454,3 +454,23 @@ def test_phase_level0_validation():
     pqp = prepare_quant_params(pcfg, pparams, scales, frozenset())
     with pytest.raises(ValueError):
         QuantInference(pqp, phase_level0="bf16")
+
+
+def test_phase_rectangular_input(trained_tiny):
+    """Strip-shaped (rectangular) tiles ride the phase engine too: both
+    dims pack independently and the level-0 crop margin (88 full-res px)
+    is the same on both axes."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales, frozenset())
+    x = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 110)),
+                           mode="reflect"))[..., None]   # 252 x 268 input
+    ref = QuantInference(qp, interpret=True).apply(x)
+    got = QuantInference(qp, interpret=True, phase_level0="bf16").apply(x)
+    assert got.shape == ref.shape == (1, 68, 84, 2)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.03 * scale, rtol=0)
