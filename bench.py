@@ -174,7 +174,8 @@ def bench_train(args, model, cfg):
     # healthy fraction, report every attempt. Gate only on the default
     # workload (non-default width/dtype measures something else).
     ref = healthy_reference("train")
-    gated = args.width_mult == 1 and args.dtype == "bfloat16"
+    gated = (args.width_mult == 1 and args.dtype == "bfloat16"
+             and not args.phase_level0)
     attempts, best = [], 0.0
     for _ in range(3 if gated else 1):
         sps, state = measure_once(state)
@@ -190,7 +191,8 @@ def bench_train(args, model, cfg):
               else "healthy" if best >= HEALTHY_FRACTION * ref
               else "degraded")
     print(json.dumps({
-        "metric": "fused train step (HeLa config: augment+EDT weights+bwd+SGD)",
+        "metric": ("fused train step (HeLa config: augment+EDT weights+bwd+SGD)"
+                   + ("; phase-packed level 0" if args.phase_level0 else "")),
         "value": round(best, 3),
         "unit": "steps/sec/chip (batch 2, 572-in)",
         "vs_baseline": None,
@@ -230,8 +232,15 @@ def main():
                          "phase-packed (space-to-depth) formulation "
                          "(ops/phase.py): 2x2 convs at 4x channels, pool as "
                          "channel max, up0 as matmul, concat eliminated")
+    ap.add_argument("--phase-level0", action="store_true",
+                    help="--mode train only: run the TRAINABLE model's "
+                         "level 0 phase-packed (ModelConfig.phase_level0; "
+                         "forward and both gradient convs change shape)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
+    if args.phase_level0 and args.mode != "train":
+        ap.error("--phase-level0 is the training-model flag; the serving "
+                 "bench's phase formulation is --phase bf16|int8")
     if args.phase != "off" and (args.pair0 or args.fused):
         ap.error("--phase is a level-0 formulation of its own; it cannot "
                  "combine with --pair0/--fused (QuantInference rejects the "
@@ -251,7 +260,8 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype)
+    cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype,
+                      phase_level0=args.phase_level0)
     model = UNet(cfg)
 
     if args.mode == "train":

@@ -246,3 +246,24 @@ def test_matmul_upconv_matches_conv_transpose():
         np.testing.assert_allclose(np.asarray(flat_m[path]), np.asarray(gx),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=str(path))
+
+
+def test_remat_is_pure_execution_choice():
+    """ModelConfig.remat must not change the parameter tree, the forward, or
+    the gradients (regression: the closure-only nn.remat call failed to bind
+    the module scope and crashed at init until round 3)."""
+    m0 = UNet(ModelConfig())
+    m1 = UNet(ModelConfig(remat=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 188, 188, 1))
+    p = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(p1))
+    np.testing.assert_allclose(np.asarray(m1.apply(p, x)),
+                               np.asarray(m0.apply(p, x)), rtol=1e-6)
+    g0 = jax.grad(lambda pp: (m0.apply(pp, x) ** 2).sum())(p)
+    g1 = jax.grad(lambda pp: (m1.apply(pp, x) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -69,6 +69,14 @@ class ModelConfig:
     # scheduling beats the patch-materializing matmuls. Kept as the tested
     # research path.
     conv_bwd: str = "xla"
+    # Phase-packed (space-to-depth) level 0 (ops/phase.py): run the level-0
+    # convs as 2x2 convs over the 2x2 phase decomposition — 4x the channels
+    # (full 128 MXU lanes) for 16/9 the FLOPs. The parameter tree stays the
+    # canonical 3x3/2x2 form (kernels are packed inside the forward,
+    # differentiably), so checkpoints interoperate and the flag is a pure
+    # execution choice for BOTH training and inference. The serving engine
+    # has its own int8 phase path (infer/quant.py phase_level0).
+    phase_level0: bool = False
 
     @property
     def widths(self) -> Tuple[int, ...]:

@@ -264,6 +264,113 @@ class _MatmulUpconv(nn.Module):
         return matmul_upconv(x, kernel, bias, dtype=self.dtype)
 
 
+class _PhaseConv(nn.Module):
+    """3x3 valid conv executed in the 2x2 phase-packed domain
+    (ops/phase.py): input/output are packed [B, h, w, 4C] tensors; the
+    parameter tree stays the canonical {kernel [3,3,Ci,Co], bias [Co]} of
+    nn.Conv (packed per call via the differentiable embedding), so
+    checkpoints interoperate. Linear + bias; callers apply the ReLU."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jax.Array) -> jax.Array:
+        from tpu_unet.ops import phase as ph
+
+        cin = xp.shape[-1] // 4
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        kp = ph.phase_pack_kernel_jnp(kernel.astype(self.dtype))
+        y = ph.conv2x2_valid(xp.astype(self.dtype), kp)
+        return y + ph.phase_bias(bias).astype(y.dtype)
+
+
+class _PhaseSplitConcatConv(nn.Module):
+    """Decoder first conv in the packed domain: conv(concat(skip, up)) with
+    the concat eliminated by kernel splitting (conv(a, K[:Ca]) +
+    conv(b, K[Ca:])) — both operands stay phase-packed and the packed concat
+    tensor is never materialized. Parameter tree matches nn.Conv over the
+    concatenated input ({kernel [3,3,Ca+Cb,Co], bias})."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ap: jax.Array, bp: jax.Array) -> jax.Array:
+        from tpu_unet.ops import phase as ph
+
+        ca, cb = ap.shape[-1] // 4, bp.shape[-1] // 4
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, ca + cb, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        k = kernel.astype(self.dtype)
+        y = (ph.conv2x2_valid(ap.astype(self.dtype),
+                              ph.phase_pack_kernel_jnp(k[:, :, :ca]))
+             + ph.conv2x2_valid(bp.astype(self.dtype),
+                                ph.phase_pack_kernel_jnp(k[:, :, ca:])))
+        return y + ph.phase_bias(bias).astype(y.dtype)
+
+
+class _PhaseUpconv(nn.Module):
+    """2x2/stride-2 transpose conv emitting a phase-packed output: with
+    stride == kernel size the scattered blocks are disjoint, so packed it is
+    ONE [.., Ci] @ [Ci, 4Co] matmul (ops/phase.py phase_upconv_matmul).
+    Parameter tree matches nn.ConvTranspose ({kernel [2,2,Ci,Co], bias})."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from tpu_unet.ops import phase as ph
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (2, 2, x.shape[-1], self.features),
+                            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        return ph.phase_upconv_matmul(x, kernel.astype(self.dtype),
+                                      bias.astype(self.dtype),
+                                      dtype=self.dtype)
+
+
+class _PhaseHead(nn.Module):
+    """Packed 1x1 head (block-diagonal over phase groups). Parameter tree
+    matches nn.Conv ({kernel [1,1,C,O], bias [O]})."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jax.Array) -> jax.Array:
+        from tpu_unet.ops import phase as ph
+
+        cin = xp.shape[-1] // 4
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, cin, self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        return ph.phase_head_matmul(xp.astype(self.dtype),
+                                    kernel.astype(self.dtype),
+                                    bias.astype(self.dtype))
+
+
 class UNet(nn.Module):
     """Valid-conv U-Net. Input NHWC [B, H, W, in_channels] with H = W a valid
     input size (core.geometry); output f32 logits [B, H-ctx, W-ctx, num_classes].
@@ -278,6 +385,15 @@ class UNet(nn.Module):
             raise ValueError(f"skip_variant must be 'paper' or 'parity', got {cfg.skip_variant!r}")
         if cfg.conv_bwd not in ("auto", "mm", "xla"):
             raise ValueError(f"conv_bwd must be 'auto', 'mm' or 'xla', got {cfg.conv_bwd!r}")
+        if cfg.phase_level0:
+            if cfg.conv_impl != "xla":
+                raise ValueError("phase_level0 requires conv_impl='xla' "
+                                 "(the phase path replaces the level-0 convs)")
+            if x.shape[1] % 2 or x.shape[2] % 2:
+                raise ValueError(
+                    f"phase_level0 needs even H, W (got {x.shape[1]}x"
+                    f"{x.shape[2]}); every valid U-Net input size is even")
+            from tpu_unet.ops import phase as ph
         # Reject sizes the valid-conv geometry can't carry (pooling would
         # silently floor odd extents and misalign the skips).
         from tpu_unet.core.geometry import output_size_for_input
@@ -318,7 +434,7 @@ class UNet(nn.Module):
                 dtype=cdt, param_dtype=pdt,
             )(x)
 
-        def upconv(x, feat, name):
+        def upconv(x, feat, name, packed=False):
             fan_in = x.shape[-1]
             if scheme == "paper":
                 kinit, binit = _conv_inits("paper", 2, fan_in)
@@ -328,6 +444,11 @@ class UNet(nn.Module):
                 # 1/sqrt(out_ch * k^2) (fan computed on the [in,out,k,k] weight).
                 kinit = _normal_init(2.0 / math.sqrt(fan_in * 9.0))
                 binit = _uniform_init(1.0 / math.sqrt(feat * 4.0))
+            if packed:
+                return _PhaseUpconv(
+                    feat, name=name, kernel_init=kinit, bias_init=binit,
+                    dtype=cdt, param_dtype=pdt,
+                )(x)
             if cfg.upconv_impl == "matmul":
                 return _MatmulUpconv(
                     feat, name=name, kernel_init=kinit, bias_init=binit,
@@ -339,7 +460,26 @@ class UNet(nn.Module):
                 dtype=cdt, param_dtype=pdt,
             )(x)
 
+        def phase_conv3(xp, feat, name, *, cin, first=False, parity_n=None):
+            # cin is the CANONICAL (unpacked) fan-in: the parameter tree and
+            # its init statistics are those of the plain 3x3 conv.
+            kinit, binit = _conv_inits(scheme, 3, cin, first=first,
+                                       parity_n=parity_n)
+            return _PhaseConv(feat, kernel_init=kinit, bias_init=binit,
+                              name=name, dtype=cdt, param_dtype=pdt)(xp)
+
         def enc_level(x, d):
+            if cfg.phase_level0 and d == 0:
+                # Packed level 0: s2d once on the raw input, 2x2 convs at 4x
+                # channels; returns the PACKED conv2 output (the caller's
+                # phase_pool unpacks it into the level-1 tensor).
+                xp = ph.space_to_depth(x)
+                xp = nn.relu(phase_conv3(xp, widths[0], "enc0_conv1",
+                                         cin=x.shape[-1], first=True,
+                                         parity_n=x.shape[-1] * 9.0))
+                return nn.relu(phase_conv3(xp, widths[0], "enc0_conv2",
+                                           cin=widths[0],
+                                           parity_n=widths[0] * 9.0))
             x = nn.relu(conv3(x, widths[d], f"enc{d}_conv1",
                               first=(d == 0),
                               parity_n=x.shape[-1] * 9.0))
@@ -351,12 +491,21 @@ class UNet(nn.Module):
         skips = []
         for d in range(cfg.depth):
             if cfg.remat:
-                x = nn.remat(enc_level, static_argnums=(1,))(x, d)
+                # flax lifted transforms need the Module as the function's
+                # first argument (the closure-only form fails to bind the
+                # scope); param names stay flat, so checkpoints interoperate.
+                x = nn.remat(lambda mdl, x, d: enc_level(x, d),
+                             static_argnums=(2,))(self, x, d)
             else:
                 x = enc_level(x, d)
             if cfg.skip_variant == "paper":
-                skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                skips.append(x)   # packed at d=0 under phase_level0
+            if cfg.phase_level0 and d == 0:
+                # pool0 in the packed domain: max over the four phase groups;
+                # the result is already the UNPACKED level-1 tensor.
+                x = ph.phase_pool(x)
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             if cfg.skip_variant == "parity":
                 skips.append(x)
 
@@ -367,6 +516,32 @@ class UNet(nn.Module):
                           parity_n=x.shape[-1] * 9.0))
 
         for d in reversed(range(cfg.depth)):
+            if cfg.phase_level0 and d == 0:
+                # Packed decoder level 0: the upconv emits phase-packed
+                # output directly (one matmul); the skip arrives packed
+                # ('paper': the packed enc0 output, cropped in the packed
+                # domain — level-0 margins are always even) or is packed here
+                # ('parity': the half-res post-pool skip is zero-padded to
+                # full res exactly as the plain path does, then s2d — a cheap
+                # 64-ch relabel); the concat is eliminated by kernel
+                # splitting; the head runs packed and the ONLY depth-to-space
+                # in the network runs on the logits after it.
+                x = upconv(x, widths[0], "up0", packed=True)
+                if cfg.skip_variant == "paper":
+                    skip_p = center_crop_or_pad(skips[0], x.shape[1:3])
+                else:
+                    skip_full = center_crop_or_pad(
+                        skips[0], (2 * x.shape[1], 2 * x.shape[2]))
+                    skip_p = ph.space_to_depth(skip_full)
+                n1 = widths[0] * 9.0 + widths[0] * 4.0
+                ki, bi = _conv_inits(scheme, 3, 2 * widths[0], parity_n=n1)
+                x = nn.relu(_PhaseSplitConcatConv(
+                    widths[0], name="dec0_conv1", kernel_init=ki,
+                    bias_init=bi, dtype=cdt, param_dtype=pdt)(skip_p, x))
+                x = nn.relu(phase_conv3(x, widths[0], "dec0_conv2",
+                                        cin=widths[0],
+                                        parity_n=widths[0] * 9.0))
+                continue
             x = upconv(x, widths[d], f"up{d}")
             skip = center_crop_or_pad(skips[d], x.shape[1:3])
             # Decoder first conv: parity N sums both concat sources with their
@@ -389,14 +564,22 @@ class UNet(nn.Module):
                               parity_n=x.shape[-1] * 9.0))
 
         # 1x1 head to num_classes, no activation (``network.py:58,190``).
-        fan_in = x.shape[-1]
+        # Canonical fan-in: under phase_level0 x is packed (4x channels) but
+        # the parameter tree and its init stats stay the plain conv's.
+        fan_in = x.shape[-1] // 4 if cfg.phase_level0 else x.shape[-1]
         if scheme == "paper":
             kinit, binit = _conv_inits("paper", 1, fan_in)
         else:
             # ``network.py:105``: N uses the previous layer's 3x3 kernel.
             kinit = _normal_init(2.0 / math.sqrt(fan_in * 9.0))
             binit = _uniform_init(1.0 / math.sqrt(fan_in * 1.0))
-        x = nn.Conv(cfg.num_classes, (1, 1), padding="VALID", name="head",
-                    kernel_init=kinit, bias_init=binit,
-                    dtype=cdt, param_dtype=pdt)(x)
+        if cfg.phase_level0:
+            x = _PhaseHead(cfg.num_classes, name="head",
+                           kernel_init=kinit, bias_init=binit,
+                           dtype=cdt, param_dtype=pdt)(x)
+            x = ph.depth_to_space(x)
+        else:
+            x = nn.Conv(cfg.num_classes, (1, 1), padding="VALID", name="head",
+                        kernel_init=kinit, bias_init=binit,
+                        dtype=cdt, param_dtype=pdt)(x)
         return x.astype(jnp.float32)

@@ -105,6 +105,70 @@ def phase_pack_kernel(w) -> np.ndarray:
     return out.reshape(2, 2, 4 * ci, 4 * co)
 
 
+def phase_pack_kernel_jnp(w: jax.Array) -> jax.Array:
+    """Differentiable :func:`phase_pack_kernel`: [3, 3, Ci, Co] -> packed
+    [2, 2, 4Ci, 4Co] as a traced jnp computation, so a *training* forward can
+    keep the canonical 3x3 parameter tree (checkpoint interop) and pack per
+    step — the packing is 36 static slice writes on a kernel-sized tensor
+    (negligible next to the convs), and autodiff accumulates the 9/16
+    placement structure back onto the 3x3 gradient automatically."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"phase_pack_kernel_jnp expects 3x3, got {kh}x{kw}")
+    out = jnp.zeros((2, 2, 4, ci, 4, co), w.dtype)
+    for aa in range(2):
+        for bb in range(2):
+            for p in range(2):
+                for q in range(2):
+                    for r in range(2):
+                        for s in range(2):
+                            a = 2 * aa + p - r
+                            b = 2 * bb + q - s
+                            if 0 <= a <= 2 and 0 <= b <= 2:
+                                out = out.at[aa, bb, p * 2 + q, :,
+                                             r * 2 + s, :].set(w[a, b])
+    return out.reshape(2, 2, 4 * ci, 4 * co)
+
+
+def phase_bias(bias: jax.Array) -> jax.Array:
+    """[C] bias -> its packed [4C] form (phase-major layout: channel
+    (phi)*C + c reads bias[c], i.e. a 4x tile)."""
+    return jnp.tile(bias, 4)
+
+
+def phase_upconv_matmul(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        dtype=jnp.bfloat16) -> jax.Array:
+    """Differentiable packed 2x2/stride-2 transpose conv: [B, h, w, Ci] ->
+    packed [B, h, w, 4Co] as ONE matmul (models.unet.matmul_upconv without
+    the trailing depth-to-space — the output feeds packed decoder convs).
+    ``kernel`` uses the nn.ConvTranspose convention ([2, 2, Ci, Co], applied
+    spatially flipped by lax.conv_transpose), so checkpoints interoperate."""
+    cin = x.shape[-1]
+    co = kernel.shape[-1]
+    b, h, w, _ = x.shape
+    # [dy, dx, ci, co] mirrored -> [ci, (dy*2+dx)*co + c]: phase-major.
+    wr = (kernel[::-1, ::-1].astype(dtype)
+          .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
+    y = jnp.dot(x.astype(dtype).reshape(b * h * w, cin), wr,
+                preferred_element_type=jnp.float32)
+    y = y + phase_bias(bias).astype(jnp.float32)
+    return y.astype(dtype).reshape(b, h, w, 4 * co)
+
+
+def phase_head_matmul(x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array) -> jax.Array:
+    """Packed 1x1 head: [B, h, w, 4C] @ [1, 1, C, O] -> packed [B, h, w, 4O]
+    (block-diagonal in the phase groups, computed as a per-phase matmul)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    o = kernel.shape[-1]
+    y = jnp.einsum("bhwpc,co->bhwpo", x.reshape(b, h, w, 4, c),
+                   kernel[0, 0].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + bias.astype(jnp.float32)
+    return y.reshape(b, h, w, 4 * o)
+
+
 def phase_pool(x: jax.Array) -> jax.Array:
     """Packed-domain 2x2/stride-2 max-pool: [B, h, w, 4C] -> [B, h, w, C].
 
