@@ -227,11 +227,15 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="enable the fused level-0 Pallas kernels in the "
                          "int8 path (enc0 chain + decoder concat+quantize)")
-    ap.add_argument("--phase", default="off", choices=["off", "bf16", "int8"],
+    ap.add_argument("--phase", default="off",
+                    choices=["off", "bf16", "int8", "ab"],
                     help="run level 0 of the int8 serving path in the "
                          "phase-packed (space-to-depth) formulation "
                          "(ops/phase.py): 2x2 convs at 4x channels, pool as "
-                         "channel max, up0 as matmul, concat eliminated")
+                         "channel max, up0 as matmul, concat eliminated; "
+                         "'ab' measures plain int8 AND phase int8 in ONE "
+                         "session (same chip window — the only valid "
+                         "formulation comparison, results/r3 lesson)")
     ap.add_argument("--phase-level0", action="store_true",
                     help="--mode train only: run the TRAINABLE model's "
                          "level 0 phase-packed (ModelConfig.phase_level0; "
@@ -386,11 +390,10 @@ def main():
     # pass --int8-impls to probe others.
     _qi_cache = {}
 
-    def make_int8_apply(impl):
-        # calibration+quantization depend only on impl, not the tile shape:
-        # build once per impl (a sweep would otherwise re-calibrate per
+    def make_int8_apply(impl, phase):
+        # calibration+quantization depend only on (impl, phase), not the
+        # tile shape: build once (a sweep would otherwise re-calibrate per
         # candidate per retry)
-        phase = None if args.phase == "off" else args.phase
         key = (impl, phase)
         if key not in _qi_cache:
             from tpu_unet.infer.quant import build_quant_inference
@@ -435,26 +438,33 @@ def main():
             if got and fallbacks:
                 break
         if args.dtype == "bfloat16" and not args.no_int8:
+            phase_variants = {"off": [None], "bf16": ["bf16"],
+                              "int8": ["int8"],
+                              "ab": [None, "int8"]}[args.phase]
             for b, tout in int8_candidates:
                 got = False
                 for impl in args.int8_impls.split(","):
-                    # same 2-attempt retry as bf16: the remote compile
-                    # helper 500s intermittently, and one transient failure
-                    # must not silently drop the headline mode
-                    for attempt in (1, 2):
-                        try:
-                            tag = (f"int8-{impl}" if args.phase == "off"
-                                   else f"int8-{impl}+phase:{args.phase}")
-                            tps = bench_batch(b, tout,
-                                              apply_fn=make_int8_apply(impl),
-                                              label=f" {tag}")
-                            if tps > best:
-                                best, best_mode = tps, f"{tag}-{b}x{fmt(tout)}"
-                            got = True
-                            break
-                        except Exception as e:
-                            log(f"  int8 {impl} {b}x{tout} attempt {attempt} "
-                                f"failed: {type(e).__name__}: {str(e)[:200]}")
+                    for phv in phase_variants:
+                        # same 2-attempt retry as bf16: the remote compile
+                        # helper 500s intermittently, and one transient
+                        # failure must not silently drop the headline mode
+                        for attempt in (1, 2):
+                            try:
+                                tag = (f"int8-{impl}" if phv is None
+                                       else f"int8-{impl}+phase:{phv}")
+                                tps = bench_batch(
+                                    b, tout,
+                                    apply_fn=make_int8_apply(impl, phv),
+                                    label=f" {tag}")
+                                if tps > best:
+                                    best, best_mode = (tps,
+                                                       f"{tag}-{b}x{fmt(tout)}")
+                                got = True
+                                break
+                            except Exception as e:
+                                log(f"  int8 {impl} {b}x{tout} phase={phv} "
+                                    f"attempt {attempt} failed: "
+                                    f"{type(e).__name__}: {str(e)[:200]}")
                 if got and fallbacks:
                     break
         return best, best_mode
