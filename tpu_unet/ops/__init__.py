@@ -2,6 +2,7 @@ from tpu_unet.ops.edt import edt, edt_batch
 from tpu_unet.ops.phase import (
     depth_to_space,
     phase_pack_kernel,
+    phase_pack_kernel_jnp,
     phase_pool,
     phase_upconv_weights,
     space_to_depth,
