@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "quantized forward (TPU serving path, +32%% "
                         "measured); 'int8-phase' additionally runs level 0 "
                         "phase-packed (ops/phase.py)")
+    p.add_argument("--phase-level0", action="store_true",
+                   help="run level 0 of the TRAINABLE model phase-packed "
+                        "(ModelConfig.phase_level0; same parameter tree, "
+                        "checkpoint-compatible) — TPU training formulation")
     p.add_argument("--nan-check", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -134,7 +138,7 @@ def main(argv: Optional[list] = None) -> int:
     model_cfg = ModelConfig(
         base_width=args.base_width, width_mult=args.width_mult,
         skip_variant=args.skip_variant or "paper", init_scheme=args.init,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, phase_level0=args.phase_level0,
     )
     train_kwargs = {}
     if args.batch_size:
