@@ -441,10 +441,16 @@ def main():
             phase_variants = {"off": [None], "bf16": ["bf16"],
                               "int8": ["int8"],
                               "ab": [None, "int8"]}[args.phase]
+            # Per-VARIANT fallback: each phase arm keeps descending the
+            # candidate list until it succeeds — one arm's success must not
+            # suppress the other's fallback, or an 'ab' run degrades into a
+            # silent one-armed comparison.
+            done_variants = set()
             for b, tout in int8_candidates:
-                got = False
                 for impl in args.int8_impls.split(","):
                     for phv in phase_variants:
+                        if fallbacks and (impl, phv) in done_variants:
+                            continue
                         # same 2-attempt retry as bf16: the remote compile
                         # helper 500s intermittently, and one transient
                         # failure must not silently drop the headline mode
@@ -459,13 +465,14 @@ def main():
                                 if tps > best:
                                     best, best_mode = (tps,
                                                        f"{tag}-{b}x{fmt(tout)}")
-                                got = True
+                                done_variants.add((impl, phv))
                                 break
                             except Exception as e:
                                 log(f"  int8 {impl} {b}x{tout} phase={phv} "
                                     f"attempt {attempt} failed: "
                                     f"{type(e).__name__}: {str(e)[:200]}")
-                if got and fallbacks:
+                if fallbacks and len(done_variants) == (
+                        len(phase_variants) * len(args.int8_impls.split(","))):
                     break
         return best, best_mode
 

@@ -222,6 +222,11 @@ def main(argv: Optional[list] = None) -> int:
         with open(hs_path) as f:
             stored = json.load(f).get("model_cfg")
         if stored:
+            # Preserve the SHAPE-bearing stored fields, but keep the user's
+            # pure execution choices: phase_level0 changes no parameter
+            # shapes (kernels are packed inside the forward), so the flag
+            # must survive the stored-config override.
+            stored["phase_level0"] = args.phase_level0
             model_cfg = ModelConfig(**stored)
     trainer = Trainer(ds_cfg, model_cfg=model_cfg, train_cfg=train_cfg,
                       out_dir=os.path.dirname(args.network) or ".",

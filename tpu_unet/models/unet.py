@@ -264,6 +264,42 @@ class _MatmulUpconv(nn.Module):
         return matmul_upconv(x, kernel, bias, dtype=self.dtype)
 
 
+@jax.custom_vjp
+def split_concat_conv2x2(a: jax.Array, b: jax.Array, ka: jax.Array,
+                         kb: jax.Array) -> jax.Array:
+    """Packed-domain analog of ``split_concat_conv3x3`` (same rationale):
+    conv2x2(concat(a, b), concat_k) computed as conv(a, ka) + conv(b, kb)
+    without materializing the concat, with the backward routed through the
+    *concat* form's transposes — the split form's autodiff gradients are the
+    pattern that trips XLA TPU's space-to-batch halo assert at small batch
+    (space_to_batch_converter.cc); the concat form's identical cotangents
+    compile fine. One packed concat is materialized in the backward only."""
+    from tpu_unet.ops.phase import conv2x2_valid
+
+    return conv2x2_valid(a, ka) + conv2x2_valid(b, kb)
+
+
+def _scc2_fwd(a, b, ka, kb):
+    return split_concat_conv2x2(a, b, ka, kb), (a, b, ka, kb)
+
+
+def _scc2_bwd(res, g):
+    from tpu_unet.ops.phase import conv2x2_valid
+
+    a, b, ka, kb = res
+    ca = a.shape[-1]
+    cat = jnp.concatenate([a, b], axis=-1)
+    k = jnp.concatenate([ka, kb], axis=2)
+    (dcat,) = jax.linear_transpose(
+        lambda x: conv2x2_valid(x, k), cat)(g)
+    (dk,) = jax.linear_transpose(
+        lambda kk: conv2x2_valid(cat, kk), k)(g)
+    return dcat[..., :ca], dcat[..., ca:], dk[:, :, :ca], dk[:, :, ca:]
+
+
+split_concat_conv2x2.defvjp(_scc2_fwd, _scc2_bwd)
+
+
 class _PhaseConv(nn.Module):
     """3x3 valid conv executed in the 2x2 phase-packed domain
     (ops/phase.py): input/output are packed [B, h, w, 4C] tensors; the
@@ -314,10 +350,10 @@ class _PhaseSplitConcatConv(nn.Module):
         bias = self.param("bias", self.bias_init, (self.features,),
                           self.param_dtype)
         k = kernel.astype(self.dtype)
-        y = (ph.conv2x2_valid(ap.astype(self.dtype),
-                              ph.phase_pack_kernel_jnp(k[:, :, :ca]))
-             + ph.conv2x2_valid(bp.astype(self.dtype),
-                                ph.phase_pack_kernel_jnp(k[:, :, ca:])))
+        y = split_concat_conv2x2(ap.astype(self.dtype),
+                                 bp.astype(self.dtype),
+                                 ph.phase_pack_kernel_jnp(k[:, :, :ca]),
+                                 ph.phase_pack_kernel_jnp(k[:, :, ca:]))
         return y + ph.phase_bias(bias).astype(y.dtype)
 
 
