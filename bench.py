@@ -175,7 +175,7 @@ def bench_train(args, model, cfg):
     # workload (non-default width/dtype measures something else).
     ref = healthy_reference("train")
     gated = (args.width_mult == 1 and args.dtype == "bfloat16"
-             and not args.phase_level0)
+             and args.phase_level0)
     attempts, best = [], 0.0
     for _ in range(3 if gated else 1):
         sps, state = measure_once(state)
@@ -227,7 +227,7 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="enable the fused level-0 Pallas kernels in the "
                          "int8 path (enc0 chain + decoder concat+quantize)")
-    ap.add_argument("--phase", default="off",
+    ap.add_argument("--phase", default="int8",
                     choices=["off", "bf16", "int8", "ab"],
                     help="run level 0 of the int8 serving path in the "
                          "phase-packed (space-to-depth) formulation "
@@ -235,16 +235,25 @@ def main():
                          "channel max, up0 as matmul, concat eliminated; "
                          "'ab' measures plain int8 AND phase int8 in ONE "
                          "session (same chip window — the only valid "
-                         "formulation comparison, results/r3 lesson)")
-    ap.add_argument("--phase-level0", action="store_true",
+                         "formulation comparison, results/r3 lesson). "
+                         "Default 'int8' since the hardware A/B: 406.7 vs "
+                         "360.7 plain-int8 tiles/s same-session, +12.8%% "
+                         "(results/r3/bench_phase_ab.json)")
+    ap.add_argument("--phase-level0", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="--mode train only: run the TRAINABLE model's "
                          "level 0 phase-packed (ModelConfig.phase_level0; "
-                         "forward and both gradient convs change shape)")
+                         "forward and both gradient convs change shape). "
+                         "Default ON since the hardware A/B: 21.43 vs 15.19 "
+                         "steps/s same-session, +41%% "
+                         "(results/r3/phase_train_ab.txt)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     args = ap.parse_args()
     if args.phase_level0 and args.mode != "train":
         ap.error("--phase-level0 is the training-model flag; the serving "
                  "bench's phase formulation is --phase bf16|int8")
+    if args.phase_level0 is None:
+        args.phase_level0 = args.mode == "train"
     if args.phase != "off" and (args.pair0 or args.fused):
         ap.error("--phase is a level-0 formulation of its own; it cannot "
                  "combine with --pair0/--fused (QuantInference rejects the "
@@ -486,7 +495,7 @@ def main():
     gated = (not args.candidates and not args.batch and not args.no_int8
              and not args.skip_bf16 and args.dtype == "bfloat16"
              and not args.pair0 and not args.fused and args.width_mult == 1
-             and args.int8_impls == "xla" and args.phase == "off")
+             and args.int8_impls == "xla" and args.phase == "int8")
     healthy_ref = healthy_reference("infer")
     attempts = []
     best, best_mode = 0.0, "bf16"

@@ -68,10 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "quantized forward (TPU serving path, +32%% "
                         "measured); 'int8-phase' additionally runs level 0 "
                         "phase-packed (ops/phase.py)")
-    p.add_argument("--phase-level0", action="store_true",
+    p.add_argument("--phase-level0", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="run level 0 of the TRAINABLE model phase-packed "
                         "(ModelConfig.phase_level0; same parameter tree, "
-                        "checkpoint-compatible) — TPU training formulation")
+                        "checkpoint-compatible) — the TPU training "
+                        "formulation, default ON: measured 21.43 vs 15.19 "
+                        "steps/s (+41%%) same-session on v5e "
+                        "(results/r3/phase_train_ab.txt); "
+                        "--no-phase-level0 restores the canonical layout")
     p.add_argument("--nan-check", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
