@@ -17,7 +17,16 @@ Variants per cin>=128 layer at the production serving geometry
   int8 x int4 -> int32   W4A8 (weight-only 4-bit)
 
 Timing: the dependency-chained in-jit harness from tpu_quant_probe
-(adaptive to the ~30 ms tunnel roundtrip). Usage:
+(adaptive to the ~30 ms tunnel roundtrip).
+
+Environment lesson (first run, results/r3/int4_probe.txt): int4 arrays
+cannot cross the host<->device argument boundary on the axon backend —
+`device_put` of an S4 array recurses in `_array_shard_arg` — and
+`lax.conv_general_dilated` rejects mixed i8 x i4 operands. So every int4
+value here is born INSIDE the jitted graph (int8 at the boundary, cast
+in-jit); the cast cost is measured separately and reported for
+subtraction, and W4A8 is measured as it would really execute: weights
+stored int4, upcast to int8 in-graph, int8 conv. Usage:
   python scripts/tpu_int4_probe.py [--batch 8] [--tile 1372]
 """
 
@@ -51,9 +60,10 @@ def make_conv(preferred=jnp.int32):
     return conv
 
 
-def rand_q(key, shape, dtype, lim):
+def rand_i8(key, shape, lim):
+    # int8 at the host<->device boundary; int4 values are born in-jit.
     v = jax.random.randint(key, shape, -lim, lim + 1, jnp.int32)
-    return v.astype(dtype)
+    return v.astype(jnp.int8)
 
 
 def main():
@@ -68,10 +78,18 @@ def main():
     log(f"device: {jax.devices()[0]}")
     qp.measure_roundtrip()
 
+    conv = make_conv()
+    # Every variant takes int8 (x, w) at the jit boundary; int4 is in-graph.
     variants = [
-        ("i8xi8", jnp.int8, 127, jnp.int8, 127),
-        ("i4xi4", jnp.int4, 7, jnp.int4, 7),
-        ("i8xi4", jnp.int8, 127, jnp.int4, 7),
+        ("i8xi8", lambda x, w: conv(x, w)),
+        ("i4xi4", lambda x, w: conv(x.astype(jnp.int4), w.astype(jnp.int4))),
+        # W4A8 as it would really execute: weights STORED int4, upcast to
+        # int8 in-graph (the conv itself is the int8 conv — the variant
+        # exists to show the upcast is ~free, i.e. W4A8 saves weight HBM
+        # only, it cannot beat i8xi8 on compute).
+        ("w4a8", lambda x, w: conv(x, w.astype(jnp.int4).astype(jnp.int8))),
+        # cast-only: the per-rep x-upcast bias riding in the i4xi4 number.
+        ("cast", lambda x, w: x.astype(jnp.int4).astype(jnp.int8)),
     ]
 
     log(f"== int4 probe, batch={batch}, tile_in={tile} ==")
@@ -79,25 +97,29 @@ def main():
     for name, s, cin, cout in level_shapes_for_tile(tile):
         gf = gflops(batch, s, cin, cout)
         line = f"  {name:12s} {s:5d}^2 {cin:4d}->{cout:4d} {gf:9.1f} GF"
-        for vname, adt, alim, wdt, wlim in variants:
+        x = rand_i8(key, (batch, s, s, cin), 127)
+        w = rand_i8(key, (3, 3, cin, cout), 7)
+        for vname, f in variants:
             try:
-                x = rand_q(key, (batch, s, s, cin), adt, alim)
-                w = rand_q(key, (3, 3, cin, cout), wdt, wlim)
-                f = jax.jit(make_conv())
                 dt = qp.timeit(f, x, w)
                 line += f" | {vname} {dt*1e3:7.2f} ms {gf/dt/1e3:6.1f} T/s"
-                del x, w
             except Exception as e:
                 line += f" | {vname} FAIL {type(e).__name__}: {str(e)[:60]}"
+        del x, w
         log(line)
 
-    # Exactness spot check: int4 conv result must equal the int32 reference
-    # on a small shape (guards against silent wraparound/packing bugs).
-    x = rand_q(key, (2, 36, 36, 128), jnp.int4, 7)
-    w = rand_q(key, (3, 3, 128, 128), jnp.int4, 7)
-    got = jax.jit(make_conv())(x, w)
-    ref = jax.jit(make_conv())(x.astype(jnp.int32), w.astype(jnp.int32))
-    ok = bool(jnp.all(got == ref))
+    # Exactness spot check, fully in-jit (int4 never crosses the boundary):
+    # the int4 conv must equal the int32 reference on a small shape (guards
+    # against silent wraparound/packing bugs).
+    @jax.jit
+    def exactness(x8, w8):
+        got = conv(x8.astype(jnp.int4), w8.astype(jnp.int4))
+        ref = conv(x8.astype(jnp.int32), w8.astype(jnp.int32))
+        return jnp.all(got == ref)
+
+    x = rand_i8(key, (2, 36, 36, 128), 7)
+    w = rand_i8(key, (3, 3, 128, 128), 7)
+    ok = bool(exactness(x, w))
     log(f"int4 conv exactness vs int32 reference: {'OK' if ok else 'MISMATCH'}")
 
 
