@@ -296,6 +296,68 @@ def quantize_weights(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, s
 
 
+def quantize_weights_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[3, 3, Cin, Cout] f32 -> (int4-range weights STORED AS int8,
+    per-output-channel scales). Stored as int8 because int4 arrays cannot
+    cross the host<->device argument boundary on the axon backend
+    (device_put of S4 recurses — results/r3/int4_probe.txt); the cast to
+    int4 happens inside the jitted conv (measured ~free,
+    results/r3/int4_probe2.txt 'cast' column)."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 7.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -7.0, 7.0).astype(jnp.int8)
+    return q, s
+
+
+def conv3x3_int4_xla(x_q, w_q, alpha, beta, out_kind="bf16",
+                     shifted=False, emulate=None):
+    """XLA int4 conv with the fused scale+bias+ReLU epilogue. v5e runs
+    int4 x int4 -> int32 at ~2x the int8 MXU rate (measured 234-826 T/s vs
+    157-211 int8 same-session at every cin>=128 serving shape,
+    results/r3/int4_probe2.txt).
+
+    `x_q`/`w_q` are int4-RANGE values stored as int8 (see
+    quantize_weights_int4 for why); both are cast to int4 in-graph.
+
+    `shifted=True` implements UNSIGNED 4-bit activations on the signed MXU
+    path — the resolution trick for post-ReLU tensors: the caller stores
+    u4 values [0, 15] shifted down by 8 (x_q = u - 8 in [-8, 7]), and
+    because the convs are VALID (every output pixel sees all taps, no
+    padding), conv(u) == conv(x_q) + 8 * sum(w) with the correction a
+    per-output-channel CONSTANT folded in here as integer math. 16 levels
+    instead of 8 for free; exactness tested vs the integer oracle.
+
+    `out_kind='u4s'` requantizes the post-ReLU output to shifted-u4 (the
+    input encoding of the next int4 conv in a chain): u = clip(round(y /
+    1.0-scaled alpha), 0, 15), stored as int8 u-8 in [-8, 7]. The caller
+    bakes the output scale into alpha/beta.
+
+    `emulate` (None = auto by backend): the CPU/GPU XLA backends cannot
+    lower sub-byte conv operands ("custom element sizes on non-sub-byte
+    types"); with emulate the contraction runs in int32 — bit-identical
+    values, no MXU rate claim — so the full serving path is CPU-testable."""
+    if emulate is None:
+        emulate = jax.default_backend() == "cpu"
+    cdt = jnp.int32 if emulate else jnp.int4
+    xi = x_q.astype(cdt)
+    wi = w_q.astype(cdt)
+    dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(
+        xi, wi, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    if shifted:
+        corr = 8 * jnp.sum(w_q.astype(jnp.int32), axis=(0, 1, 2))
+        acc = acc + corr
+    y = jnp.maximum(acc.astype(jnp.float32) * alpha + beta, 0.0)
+    if out_kind == "int8":
+        return jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
+    if out_kind == "u4s":
+        return (jnp.clip(jnp.round(y), 0.0, 15.0) - 8.0).astype(jnp.int8)
+    return y.astype(jnp.bfloat16)
+
+
 def conv3x3_int8_xla(x_q, w_q, alpha, beta, out_kind="bf16"):
     """XLA int8 conv with the fused scale+bias+ReLU+requantize epilogue —
     the PRODUCTION serving conv (results/r2/shootout.txt: 330-550 T/s,
