@@ -228,7 +228,7 @@ def main():
                     help="enable the fused level-0 Pallas kernels in the "
                          "int8 path (enc0 chain + decoder concat+quantize)")
     ap.add_argument("--phase", default="int8",
-                    choices=["off", "bf16", "int8", "ab"],
+                    choices=["off", "bf16", "int8", "ab", "int4", "ab4"],
                     help="run level 0 of the int8 serving path in the "
                          "phase-packed (space-to-depth) formulation "
                          "(ops/phase.py): 2x2 convs at 4x channels, pool as "
@@ -238,7 +238,10 @@ def main():
                          "formulation comparison, results/r3 lesson). "
                          "Default 'int8' since the hardware A/B: 406.7 vs "
                          "360.7 plain-int8 tiles/s same-session, +12.8%% "
-                         "(results/r3/bench_phase_ab.json)")
+                         "(results/r3/bench_phase_ab.json). 'int4' = phase "
+                         "int8 level 0 + w4a4 mid-depth convs (~2x int8 MXU "
+                         "rate, results/r3/int4_probe2.txt); 'ab4' measures "
+                         "phase-int8 AND phase-int4 in ONE session")
     ap.add_argument("--phase-level0", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="--mode train only: run the TRAINABLE model's "
@@ -399,11 +402,11 @@ def main():
     # pass --int8-impls to probe others.
     _qi_cache = {}
 
-    def make_int8_apply(impl, phase):
-        # calibration+quantization depend only on (impl, phase), not the
-        # tile shape: build once (a sweep would otherwise re-calibrate per
-        # candidate per retry)
-        key = (impl, phase)
+    def make_int8_apply(impl, phase, int4=False):
+        # calibration+quantization depend only on (impl, phase, int4), not
+        # the tile shape: build once (a sweep would otherwise re-calibrate
+        # per candidate per retry)
+        key = (impl, phase, int4)
         if key not in _qi_cache:
             from tpu_unet.infer.quant import build_quant_inference
 
@@ -411,7 +414,7 @@ def main():
                                        (2, 444, 444, 1), jnp.float32)
             qi = build_quant_inference(model, params, calib, impl=impl,
                                        min_channels=128, interpret=False,
-                                       phase_level0=phase)
+                                       phase_level0=phase, int4=int4)
             qi.pair_level0 = args.pair0
             qi.fused_enc0 = qi.fused_concat = args.fused
             _qi_cache[key] = qi
@@ -447,9 +450,14 @@ def main():
             if got and fallbacks:
                 break
         if args.dtype == "bfloat16" and not args.no_int8:
-            phase_variants = {"off": [None], "bf16": ["bf16"],
-                              "int8": ["int8"],
-                              "ab": [None, "int8"]}[args.phase]
+            # variant = (phase_level0, int4): the int4 arms ride phase-int8
+            # level 0 (the production level-0 formulation) + w4a4 mid-depth
+            phase_variants = {"off": [(None, False)], "bf16": [("bf16", False)],
+                              "int8": [("int8", False)],
+                              "ab": [(None, False), ("int8", False)],
+                              "int4": [("int8", True)],
+                              "ab4": [("int8", False), ("int8", True)],
+                              }[args.phase]
             # Per-VARIANT fallback: each phase arm keeps descending the
             # candidate list until it succeeds — one arm's success must not
             # suppress the other's fallback, or an 'ab' run degrades into a
@@ -457,27 +465,28 @@ def main():
             done_variants = set()
             for b, tout in int8_candidates:
                 for impl in args.int8_impls.split(","):
-                    for phv in phase_variants:
-                        if fallbacks and (impl, phv) in done_variants:
+                    for phv, i4 in phase_variants:
+                        if fallbacks and (impl, phv, i4) in done_variants:
                             continue
                         # same 2-attempt retry as bf16: the remote compile
                         # helper 500s intermittently, and one transient
                         # failure must not silently drop the headline mode
                         for attempt in (1, 2):
                             try:
-                                tag = (f"int8-{impl}" if phv is None
-                                       else f"int8-{impl}+phase:{phv}")
+                                bits = "int4" if i4 else "int8"
+                                tag = (f"{bits}-{impl}" if phv is None
+                                       else f"{bits}-{impl}+phase:{phv}")
                                 tps = bench_batch(
                                     b, tout,
-                                    apply_fn=make_int8_apply(impl, phv),
+                                    apply_fn=make_int8_apply(impl, phv, i4),
                                     label=f" {tag}")
                                 if tps > best:
                                     best, best_mode = (tps,
                                                        f"{tag}-{b}x{fmt(tout)}")
-                                done_variants.add((impl, phv))
+                                done_variants.add((impl, phv, i4))
                                 break
                             except Exception as e:
-                                log(f"  int8 {impl} {b}x{tout} phase={phv} "
+                                log(f"  {bits} {impl} {b}x{tout} phase={phv} "
                                     f"attempt {attempt} failed: "
                                     f"{type(e).__name__}: {str(e)[:200]}")
                 if fallbacks and len(done_variants) == (

@@ -59,14 +59,30 @@ def main():
     r_q = evaluate(trainer.model, state.params, data, verbose=False,
                    quant="int8")
     drop = (r_bf["iou_mean"] - r_q["iou_mean"]) / max(r_bf["iou_mean"], 1e-9)
-    print(json.dumps({
+    out = {
         "bf16_iou": round(r_bf["iou_mean"], 6),
         "int8_iou": round(r_q["iou_mean"], 6),
         "bf16_pe": round(r_bf["pe_mean"], 6),
         "int8_pe": round(r_q["pe_mean"], 6),
         "iou_drop_frac": round(drop, 6),
         "gate": "PASS" if drop < 0.005 else "FAIL",
-    }))
+    }
+    # the lower-precision serving tiers: phase-packed level 0 and the w4a4
+    # mid-depth path (each tier's measured drop is ITS documented contract;
+    # the int4 tier trades precision for ~2x MXU rate and carries a looser
+    # gate than int8's 0.5%)
+    for tier in ("int8-phase", "int4-phase"):
+        print(f"[{time.strftime('%H:%M:%S')}] evaluating {tier} ...",
+              flush=True)
+        r_t = evaluate(trainer.model, state.params, data, verbose=False,
+                       quant=tier)
+        key = tier.replace("-", "_")
+        out[f"{key}_iou"] = round(r_t["iou_mean"], 6)
+        out[f"{key}_pe"] = round(r_t["pe_mean"], 6)
+        out[f"{key}_iou_drop_frac"] = round(
+            (r_bf["iou_mean"] - r_t["iou_mean"])
+            / max(r_bf["iou_mean"], 1e-9), 6)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -474,3 +474,136 @@ def test_phase_rectangular_input(trained_tiny):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=0.03 * scale, rtol=0)
+
+
+# --- int4 (w4a4) serving tier (results/r3/int4_probe2.txt) -------------------
+
+def test_default_int4_names_full_width():
+    from tpu_unet.infer.quant import default_int4_names
+
+    cfg = ModelConfig()  # widths 64..1024
+    names = default_int4_names(cfg, 128)
+    # every int8-profitable conv outside level 0
+    for n in ("enc0_conv1", "enc0_conv2", "dec0_conv1", "dec0_conv2"):
+        assert n not in names
+    assert "enc1_conv2" in names
+    for d in (2, 3):
+        assert f"enc{d}_conv1" in names and f"enc{d}_conv2" in names
+    assert {"bottleneck_conv1", "bottleneck_conv2"} <= names
+    for d in (1, 2, 3):
+        assert f"dec{d}_conv1" in names and f"dec{d}_conv2" in names
+    # int4 takes precedence: prepare puts these in q4conv, not qconv
+    assert names <= default_quant_names(cfg, 128)
+
+
+def test_int4_iou_vs_bf16(trained_tiny):
+    """The int4 tier's quality contract: a LOWER-precision tier than int8
+    (16 activation levels mid-depth) with its own measured gate — the drop
+    bound here documents the tier, it does not claim int8 quality."""
+    model, params, imgs, data = trained_tiny
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    pred_b, logit_b = _predict64(lambda x: model.apply(bparams, x), imgs)
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    qi = build_quant_inference(model, params, calib, min_channels=16,
+                               int4=True)
+    assert len(qi.qp.q4conv) >= 8, sorted(qi.qp.q4conv)
+    assert not (qi.qp.q4names & qi.qp.qnames)
+    pred_q, logit_q = _predict64(qi.apply, imgs)
+
+    def iou(pred, ref):
+        return (((pred != 0) & (ref != 0)).sum()
+                / max(((pred != 0) | (ref != 0)).sum(), 1))
+
+    gt = (data.targets > 0)
+    iou_b, iou_q = iou(pred_b, gt), iou(pred_q, gt)
+    assert iou_b > 0.4, f"bf16 model failed to learn (IoU {iou_b:.3f})"
+    drop = (iou_b - iou_q) / iou_b
+    assert drop < 0.05, (
+        f"int4 IoU degradation {drop:.2%} (bf16 {iou_b:.4f}, "
+        f"int4 {iou_q:.4f})")
+    agree = iou(pred_q, pred_b)
+    assert agree > 0.90, f"int4-vs-bf16 prediction IoU {agree:.4f}"
+
+
+def test_int4_split_dec_conv_matches_integer_oracle(trained_tiny):
+    """The split-kernel decoder conv (concat never materialized, per-source
+    scales) equals the hand-composed integer math."""
+    from tpu_unet.infer.quant import _S4, _U4, default_int4_names
+
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    qi = build_quant_inference(model, params, calib, min_channels=16,
+                               int4=True)
+    qp = qi.qp
+    d = 1
+    name = f"dec{d}_conv1"
+    assert name in qp.q4names
+    rng = np.random.RandomState(0)
+    c_skip = model.cfg.widths[d]
+    # u4s-encoded skip (as the int4 encoder produces) + float up tensor
+    sk = jnp.asarray(rng.randint(-8, 8, (1, 20, 20, c_skip)).astype(np.int8))
+    s_sk4 = qp.scales[f"enc{d}_conv2"] * _U4
+    u = jnp.asarray((rng.randn(1, 16, 16, c_skip) * 0.3).astype(np.float32))
+    got, (tag, s_out4) = qi._conv_i4_split(d, u, (sk, ("u4s", s_sk4)))
+    assert tag == "u4s"
+
+    # oracle: dequantize both sources, crop, concat, run the conv in plain
+    # integer math on the SAME quantized operands
+    from tpu_unet.models import center_crop_or_pad
+    from tpu_unet.ops.conv_tiles import quantize_activations_s4
+
+    w_q, s_w, bias = qp.q4conv[name]
+    s_up4 = qp.scales[f"up{d}"] * _S4
+    u_q = quantize_activations_s4(u, s_up4)
+    skc = center_crop_or_pad(sk, u.shape[1:3])
+    dn = jax.lax.conv_dimension_numbers(
+        (1, 16, 16, c_skip), (3, 3, c_skip, w_q.shape[-1]),
+        ("NHWC", "HWIO", "NHWC"))
+    acc_sk = jax.lax.conv_general_dilated(
+        (skc.astype(jnp.int32) + 8), w_q[:, :, :c_skip].astype(jnp.int32),
+        (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    acc_up = jax.lax.conv_general_dilated(
+        u_q.astype(jnp.int32), w_q[:, :, c_skip:].astype(jnp.int32),
+        (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    t = (np.asarray(acc_sk, np.float32) * s_sk4
+         + np.asarray(acc_up, np.float32) * s_up4)
+    y = np.maximum((t * np.asarray(s_w) + np.asarray(bias)) / s_out4, 0.0)
+    exp = (np.clip(np.round(y), 0.0, 15.0) - 8.0).astype(np.int8)
+    assert np.array_equal(np.asarray(got), exp)
+
+
+def test_int4_quant_params_save_load_roundtrip(trained_tiny, tmp_path):
+    from tpu_unet.infer.quant import (default_int4_names, load_quant_params,
+                                      save_quant_params)
+
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              default_quant_names(model.cfg, 16),
+                              q4names=default_int4_names(model.cfg, 16))
+    path = str(tmp_path / "qp4.npz")
+    save_quant_params(path, qp)
+    qp2 = load_quant_params(path)
+    assert qp2.q4names == qp.q4names and qp2.qnames == qp.qnames
+    x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
+                           mode="reflect"))[..., None]
+    a = QuantInference(qp).apply(x)
+    b = QuantInference(qp2).apply(x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_int4_phase_smoke(trained_tiny):
+    """evaluate(quant='int4-phase') end-to-end: the full tier composition
+    (phase-packed int8 level 0 + w4a4 mid-depth) through the public API."""
+    from tpu_unet.infer.tester import evaluate
+
+    model, params, _, data = trained_tiny
+    r = evaluate(model, params, data, verbose=False, quant="int4-phase")
+    assert 0.0 <= r["iou_mean"] <= 1.0
+    assert r["iou_mean"] > 0.4, r

@@ -63,11 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="overlap-tile output size for TESTING: an int, or "
                         "HxW for rectangular strip tiles (default: whole "
                         "image)")
-    p.add_argument("--quant", default=None, choices=["int8", "int8-phase"],
-                   help="TESTING: serve through the int8 post-training-"
-                        "quantized forward (TPU serving path, +32%% "
-                        "measured); 'int8-phase' additionally runs level 0 "
-                        "phase-packed (ops/phase.py)")
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int8-phase", "int4", "int4-phase"],
+                   help="TESTING: serve through the post-training-quantized "
+                        "forward (TPU serving path). 'int8' = +32%% "
+                        "measured; '-phase' variants run level 0 "
+                        "phase-packed (ops/phase.py); 'int4' variants run "
+                        "every cin>=128 conv outside level 0 w4a4 (~2x the "
+                        "int8 MXU rate) — a lower-precision tier with its "
+                        "own measured IoU gate (tests/test_quant.py)")
     p.add_argument("--phase-level0", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="run level 0 of the TRAINABLE model phase-packed "

@@ -42,10 +42,23 @@ from tpu_unet.config import ModelConfig
 from tpu_unet.models import center_crop_or_pad
 from tpu_unet.ops.conv_tiles import (
     conv3x3_fused,
+    conv3x3_int4_acc,
+    conv3x3_int4_xla,
     conv3x3_int8_xla,
     quantize_activations,
+    quantize_activations_s4,
+    quantize_activations_u4s,
     quantize_weights,
+    quantize_weights_int4,
+    requantize_i8_to_u4s,
 )
+
+# 4-bit activation scales derive from the same calibration as int8: the
+# clip range (post-ReLU max, or abs-max for signed) is shared, only the
+# level count changes — u4 has 16 levels (shifted-u4 encoding), signed
+# s4 has 15.
+_U4 = 127.0 / 15.0
+_S4 = 127.0 / 7.0
 
 
 def _conv_names(cfg: ModelConfig) -> Tuple[str, ...]:
@@ -83,6 +96,19 @@ def default_quant_names(cfg: ModelConfig, min_channels: int = 128) -> FrozenSet[
     return frozenset(out)
 
 
+def default_int4_names(cfg: ModelConfig, min_channels: int = 128) -> FrozenSet[str]:
+    """The int4-profitable conv set: every int8-profitable (cin >=
+    `min_channels`) conv OUTSIDE the level-0 neighborhood. v5e runs int4 x
+    int4 at ~2x the int8 MXU rate at every one of these shapes (234-826 vs
+    157-211 T/s, results/r3/int4_probe2.txt). Level 0 is excluded: in the
+    production phase-packed formulation it has its own formulation
+    (ops/phase.py), and it carries the finest spatial detail — the 16-level
+    activation encoding is spent where the FLOPs are, not where the
+    boundary pixels are decided."""
+    level0 = {"enc0_conv1", "enc0_conv2", "dec0_conv1", "dec0_conv2"}
+    return frozenset(default_quant_names(cfg, min_channels) - level0)
+
+
 def calibrate(model, params, sample_batch: jax.Array) -> Dict[str, float]:
     """Run the float model on representative tiles, record per-tensor abs-max
     activation scales. Returns {name: scale} for every conv output (post-ReLU
@@ -112,26 +138,36 @@ def calibrate(model, params, sample_batch: jax.Array) -> Dict[str, float]:
 
 @dataclasses.dataclass
 class QuantParams:
-    """Preprocessed serving parameters: int8 kernels + fused scale vectors for
-    quantized convs, bf16 tensors for the float remainder."""
+    """Preprocessed serving parameters: int8/int4 kernels + fused scale
+    vectors for quantized convs, bf16 tensors for the float remainder.
+    `qnames` (int8) and `q4names` (int4, w4a4 serving) are disjoint."""
 
     cfg: ModelConfig
     qnames: FrozenSet[str]
     scales: Dict[str, float]
     qconv: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]  # name -> (w_q, s_w, bias)
     fconv: Dict[str, Tuple[jax.Array, jax.Array]]             # name -> (kernel bf16, bias)
+    q4names: FrozenSet[str] = frozenset()
+    q4conv: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = \
+        dataclasses.field(default_factory=dict)  # name -> (w_q4, s_w4, bias)
 
 
 def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
-                         qnames: Optional[FrozenSet[str]] = None) -> QuantParams:
+                         qnames: Optional[FrozenSet[str]] = None,
+                         q4names: Optional[FrozenSet[str]] = None) -> QuantParams:
     if qnames is None:
         qnames = default_quant_names(cfg)
+    q4names = frozenset(q4names or ())
+    qnames = frozenset(qnames) - q4names     # int4 takes precedence
     p = params["params"]
-    qconv, fconv = {}, {}
+    qconv, fconv, q4conv = {}, {}, {}
     for name in _conv_names(cfg):
         kernel = p[name]["kernel"].astype(jnp.float32)
         bias = p[name]["bias"].astype(jnp.float32)
-        if name in qnames:
+        if name in q4names:
+            w_q, s_w = quantize_weights_int4(kernel)
+            q4conv[name] = (w_q, s_w, bias)
+        elif name in qnames:
             w_q, s_w = quantize_weights(kernel)
             qconv[name] = (w_q, s_w, bias)
         else:
@@ -142,7 +178,8 @@ def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
     fconv["head"] = (p["head"]["kernel"].astype(jnp.bfloat16),
                      p["head"]["bias"].astype(jnp.float32))
     return QuantParams(cfg=cfg, qnames=qnames, scales=dict(scales),
-                       qconv=qconv, fconv=fconv)
+                       qconv=qconv, fconv=fconv, q4names=q4names,
+                       q4conv=q4conv)
 
 
 class QuantInference:
@@ -176,6 +213,11 @@ class QuantInference:
             raise ValueError("phase_level0 is a level-0 formulation of its "
                              "own; combine it with none of pair_level0/"
                              "fused_enc0/fused_concat")
+        if qp.q4names and (pair_level0 or fused_enc0 or fused_concat):
+            raise ValueError("the int4 serving path composes with the "
+                             "production formulations (phase_level0, plain "
+                             "int8) only; not with pair_level0/fused_enc0/"
+                             "fused_concat")
         if phase_level0 and qp.cfg.skip_variant != "paper":
             raise ValueError("phase_level0 requires the paper skip variant "
                              "(the parity skip is captured post-pool, "
@@ -227,9 +269,14 @@ class QuantInference:
             return self.interpret
         return jax.default_backend() == "cpu"
 
-    def _deq(self, v: jax.Array, s: Optional[float]) -> jax.Array:
+    def _deq(self, v: jax.Array, s) -> jax.Array:
+        """Dequantize by encoding tag: None = float already; float = int8
+        at that scale; ('u4s', s4) = shifted-u4 (value = (q + 8) * s4)."""
         if s is None:
             return v
+        if isinstance(s, tuple):
+            return ((v.astype(jnp.float32) + 8.0)
+                    * jnp.float32(s[1])).astype(jnp.bfloat16)
         return v.astype(jnp.bfloat16) * jnp.bfloat16(s)
 
     @staticmethod
@@ -411,13 +458,42 @@ class QuantInference:
         return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
 
     def _conv(self, name: str, v, s_in, paired: bool = False):
-        """One 3x3 conv + ReLU. (v, s_in) -> (v, s_out); s None = float.
+        """One 3x3 conv + ReLU. (v, s_in) -> (v, s_out); s None = float,
+        float = int8 scale, ('u4s', s4) = shifted-u4 (int4 chain encoding).
         `paired`: v carries two batch images channel-concatenated; the kernel
         is lifted to its block-diagonal form."""
         qp = self.qp
+        if name in qp.q4names:
+            # w4a4: ~2x the int8 MXU rate (results/r3/int4_probe2.txt).
+            # Inputs are post-ReLU here (decoder conv1s take the split-
+            # kernel path in apply()), so the shifted-u4 encoding applies.
+            w_q, s_w, bias = qp.q4conv[name]
+            if isinstance(s_in, tuple):      # chained u4s: already encoded
+                s_in4 = s_in[1]
+            elif s_in is None:               # float input
+                s_in4 = qp.scales[self._input_scale_key(name)] * _U4
+                v = quantize_activations_u4s(v, s_in4)
+            else:                            # int8 input at scale s_in
+                s_in4 = s_in * _U4
+                v = requantize_i8_to_u4s(v, s_in, s_in4)
+            s_out4 = qp.scales[name] * _U4
+            alpha = (s_in4 * s_w / s_out4).astype(jnp.float32)
+            beta = (bias / s_out4).astype(jnp.float32)
+            y = conv3x3_int4_xla(v, w_q, alpha, beta, out_kind="u4s",
+                                 shifted=True)
+            return y, ("u4s", s_out4)
         if name not in qp.qnames:
             return self._conv_f(name, self._deq(v, s_in), paired=paired), None
-        if s_in is None:
+        if isinstance(s_in, tuple):
+            # u4s feeding an int8 conv: requantize to the tensor's
+            # calibrated int8 scale (round(u*s4/s8), the exact requantize
+            # of the dequantized value)
+            s4 = s_in[1]
+            s_in = qp.scales[self._input_scale_key(name)]
+            v = jnp.clip(jnp.round((v.astype(jnp.float32) + 8.0)
+                                   * (s4 / s_in)),
+                         0.0, 127.0).astype(jnp.int8)
+        elif s_in is None:
             s_in = qp.scales[self._input_scale_key(name)]
             v = quantize_activations(v, s_in)
         w_q, s_w, bias = qp.qconv[name]
@@ -435,6 +511,40 @@ class QuantInference:
                           variant="auto" if self.block_rows is None else "nconcat",
                           interpret=self._interp())
         return y, s_out
+
+    def _conv_i4_split(self, d: int, u: jax.Array, skip):
+        """Decoder conv1 in int4 WITHOUT materializing the concat: the
+        kernel splits by source along cin ([skip | up], the production
+        concat order) and the two int32 accumulators sum — the
+        full-resolution concat tensor never exists (it is the biggest
+        single HBM write/read of the int8 decoder), and each source keeps
+        its own 4-bit scale instead of the int8 path's shared concat scale
+        (better 16-level utilization). Skip side is post-ReLU -> shifted-u4;
+        up side is a signed pre-ReLU upconv output -> signed s4."""
+        qp = self.qp
+        name = f"dec{d}_conv1"
+        w_q, s_w, bias = qp.q4conv[name]
+        c_skip = qp.cfg.widths[d]
+        sk, sk_s = skip
+        if isinstance(sk_s, tuple):
+            s_sk4 = sk_s[1]
+        elif sk_s is None:
+            s_sk4 = qp.scales[f"enc{d}_conv2"] * _U4
+            sk = quantize_activations_u4s(sk, s_sk4)
+        else:
+            s_sk4 = sk_s * _U4
+            sk = requantize_i8_to_u4s(sk, sk_s, s_sk4)
+        sk = center_crop_or_pad(sk, u.shape[1:3])
+        s_up4 = qp.scales[f"up{d}"] * _S4
+        u_q = quantize_activations_s4(u, s_up4)
+        acc_sk = conv3x3_int4_acc(sk, w_q[:, :, :c_skip], shifted=True)
+        acc_up = conv3x3_int4_acc(u_q, w_q[:, :, c_skip:], shifted=False)
+        t = (acc_sk.astype(jnp.float32) * jnp.float32(s_sk4)
+             + acc_up.astype(jnp.float32) * jnp.float32(s_up4))
+        s_out4 = qp.scales[name] * _U4
+        y = jnp.maximum((t * s_w + bias) / s_out4, 0.0)
+        y = (jnp.clip(jnp.round(y), 0.0, 15.0) - 8.0).astype(jnp.int8)
+        return y, ("u4s", s_out4)
 
     def _input_scale_key(self, name: str) -> str:
         """Calibration key for a quantized conv's float input tensor (= the
@@ -650,7 +760,9 @@ class QuantInference:
                         ("NHWC", "HWIO", "NHWC")),
                     preferred_element_type=jnp.float32)
                 return unpair(y + jnp.concatenate([b, b]))
-            if name in qp.qnames:
+            if name in qp.q4names:
+                v, s = self._conv_i4_split(d, u, skips[d])
+            elif name in qp.qnames:
                 # concat in int8: rescale the int8 skip directly
                 # (round(q*sk_s/s_cat) == requantize of the dequantized value,
                 # exactly) and quantize the bf16 upconv output — the bf16
@@ -659,6 +771,11 @@ class QuantInference:
                 s_cat = qp.scales[name + ":cat"]
                 if sk_s is None:
                     sk_q = quantize_activations(sk, s_cat)
+                elif isinstance(sk_s, tuple):  # u4s skip from an int4 enc
+                    sk_q = jnp.clip(
+                        jnp.round((sk.astype(jnp.float32) + 8.0)
+                                  * (sk_s[1] / s_cat)),
+                        0.0, 127.0).astype(jnp.int8)
                 elif sk_s == s_cat:
                     sk_q = sk          # captured at the concat scale already
                 else:
@@ -745,6 +862,10 @@ def save_quant_params(path: str, qp: QuantParams) -> None:
         arrays[f"q:{name}:w"] = np.asarray(w_q)
         arrays[f"q:{name}:s"] = np.asarray(s_w)
         arrays[f"q:{name}:b"] = np.asarray(bias)
+    for name, (w_q, s_w, bias) in qp.q4conv.items():
+        arrays[f"q4:{name}:w"] = np.asarray(w_q)
+        arrays[f"q4:{name}:s"] = np.asarray(s_w)
+        arrays[f"q4:{name}:b"] = np.asarray(bias)
     for name, (k, b) in qp.fconv.items():
         # npz has no bf16: store f32, restore to bf16 (exact round-trip —
         # every bf16 is representable in f32)
@@ -753,6 +874,7 @@ def save_quant_params(path: str, qp: QuantParams) -> None:
     meta = {
         "cfg": dataclasses.asdict(qp.cfg),
         "qnames": sorted(qp.qnames),
+        "q4names": sorted(qp.q4names),
         "scales": qp.scales,
     }
     arrays["meta"] = np.frombuffer(
@@ -771,7 +893,7 @@ def load_quant_params(path: str) -> QuantParams:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         cfg = ModelConfig(**meta["cfg"])
-        qconv, fconv = {}, {}
+        qconv, fconv, q4conv = {}, {}, {}
         for key in z.files:
             kind, _, rest = key.partition(":")
             if kind == "q" and rest.endswith(":w"):
@@ -779,12 +901,19 @@ def load_quant_params(path: str) -> QuantParams:
                 qconv[name] = (jnp.asarray(z[f"q:{name}:w"]),
                                jnp.asarray(z[f"q:{name}:s"]),
                                jnp.asarray(z[f"q:{name}:b"]))
+            elif kind == "q4" and rest.endswith(":w"):
+                name = rest[:-2]
+                q4conv[name] = (jnp.asarray(z[f"q4:{name}:w"]),
+                                jnp.asarray(z[f"q4:{name}:s"]),
+                                jnp.asarray(z[f"q4:{name}:b"]))
             elif kind == "f" and rest.endswith(":k"):
                 name = rest[:-2]
                 fconv[name] = (jnp.asarray(z[f"f:{name}:k"], jnp.bfloat16),
                                jnp.asarray(z[f"f:{name}:b"]))
     return QuantParams(cfg=cfg, qnames=frozenset(meta["qnames"]),
-                       scales=dict(meta["scales"]), qconv=qconv, fconv=fconv)
+                       scales=dict(meta["scales"]), qconv=qconv, fconv=fconv,
+                       q4names=frozenset(meta.get("q4names", ())),
+                       q4conv=q4conv)
 
 
 def build_quant_inference(model, params, sample_batch,
@@ -793,12 +922,19 @@ def build_quant_inference(model, params, sample_batch,
                           interpret: Optional[bool] = None,
                           layer_impl: Optional[Dict[str, str]] = None,
                           phase_level0: Optional[str] = None,
+                          int4: bool = False,
+                          int4_names: Optional[FrozenSet[str]] = None,
                           ) -> QuantInference:
-    """Calibrate + quantize + build in one step."""
+    """Calibrate + quantize + build in one step. `int4=True` runs the
+    default int4 set (every cin>=128 conv outside level 0) w4a4 — ~2x the
+    int8 MXU rate (results/r3/int4_probe2.txt); `int4_names` overrides the
+    set explicitly."""
     cfg = model.cfg
     scales = add_concat_scales(cfg, calibrate(model, params, sample_batch))
     qnames = default_quant_names(cfg, min_channels)
-    qp = prepare_quant_params(cfg, params, scales, qnames)
+    if int4_names is None and int4:
+        int4_names = default_int4_names(cfg, min_channels)
+    qp = prepare_quant_params(cfg, params, scales, qnames, q4names=int4_names)
     return QuantInference(qp, impl=impl, block_rows=block_rows,
                           interpret=interpret, layer_impl=layer_impl,
                           phase_level0=phase_level0)

@@ -76,7 +76,8 @@ def _params_fingerprint(params) -> float:
 
 
 def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
-                         phase_level0: Optional[str] = None):
+                         phase_level0: Optional[str] = None,
+                         int4: bool = False):
     """Calibrated QuantInference, cached so repeat evaluations re-use both the
     quantized params and the jitted engines (VERDICT r2: each int8 evaluation
     used to re-run full-float calibration and re-jit per shape group).
@@ -90,7 +91,7 @@ def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
         load_quant_params, prepare_quant_params, save_quant_params)
 
     if quant_path is not None:
-        key = ("path", os.path.abspath(quant_path), phase_level0)
+        key = ("path", os.path.abspath(quant_path), phase_level0, int4)
         qi = _QUANT_CACHE.get(key)
         if qi is None:
             if os.path.exists(quant_path) or os.path.exists(quant_path + ".npz"):
@@ -99,16 +100,18 @@ def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
             else:
                 calib = calibration_batch([p[0] for p in prepared])
                 qi = build_quant_inference(model, params, calib,
-                                           phase_level0=phase_level0)
+                                           phase_level0=phase_level0,
+                                           int4=int4)
                 save_quant_params(quant_path, qi.qp)
             _QUANT_CACHE[key] = qi
         return qi, key
-    key = ("params", model.cfg, _params_fingerprint(params), phase_level0)
+    key = ("params", model.cfg, _params_fingerprint(params), phase_level0,
+           int4)
     qi = _QUANT_CACHE.get(key)
     if qi is None:
         calib = calibration_batch([p[0] for p in prepared])
         qi = build_quant_inference(model, params, calib,
-                                   phase_level0=phase_level0)
+                                   phase_level0=phase_level0, int4=int4)
         _QUANT_CACHE[key] = qi
     return qi, key
 
@@ -131,6 +134,10 @@ def evaluate(
     drop by tests/test_quant.py. `quant='int8-phase'` additionally runs
     level 0 in the phase-packed formulation (ops/phase.py), quantizing the
     packed level-0 convs too (same IoU gate, tests/test_quant.py).
+    `quant='int4'` / `quant='int4-phase'` further run every cin>=128 conv
+    outside level 0 w4a4 (shifted-u4 activations, ~2x the int8 MXU rate —
+    infer/quant.py default_int4_names); a lower-precision tier with its own
+    measured IoU gate (tests/test_quant.py).
     Calibration and engines are cached across calls; `quant_path` serves
     from (or creates) a serialized QuantParams .npz so repeat servings
     never re-calibrate.
@@ -144,14 +151,16 @@ def evaluate(
         groups.setdefault(img.shape, []).append(idx)
 
     apply_fn, qkey = None, None
-    if quant in ("int8", "int8-phase"):
-        phase = "int8" if quant == "int8-phase" else None
+    if quant in ("int8", "int8-phase", "int4", "int4-phase"):
+        phase = "int8" if quant.endswith("-phase") else None
         qi, qkey = _get_quant_inference(model, params, prepared, quant_path,
-                                        phase_level0=phase)
+                                        phase_level0=phase,
+                                        int4=quant.startswith("int4"))
         apply_fn = lambda _p, tiles: qi.apply(tiles)
     elif quant is not None:
         raise ValueError(
-            f"quant must be None, 'int8' or 'int8-phase', got {quant!r}")
+            f"quant must be None, 'int8', 'int8-phase', 'int4' or "
+            f"'int4-phase', got {quant!r}")
 
     per_image = [None] * len(data)
     for shape, indices in groups.items():

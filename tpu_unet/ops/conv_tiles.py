@@ -310,11 +310,35 @@ def quantize_weights_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def conv3x3_int4_xla(x_q, w_q, alpha, beta, out_kind="bf16",
-                     shifted=False, emulate=None):
-    """XLA int4 conv with the fused scale+bias+ReLU epilogue. v5e runs
-    int4 x int4 -> int32 at ~2x the int8 MXU rate (measured 234-826 T/s vs
-    157-211 int8 same-session at every cin>=128 serving shape,
+def quantize_activations_u4s(x: jax.Array, scale) -> jax.Array:
+    """f32/bf16 post-ReLU [..., C] -> shifted-u4 int8 storage: u =
+    clip(round(x/scale), 0, 15), stored as u - 8 in [-8, 7] (see
+    conv3x3_int4_xla `shifted` for why the shift). 16 levels; `scale`
+    should be the tensor's post-ReLU max / 15."""
+    u = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), 0.0, 15.0)
+    return (u - 8.0).astype(jnp.int8)
+
+
+def quantize_activations_s4(x: jax.Array, scale) -> jax.Array:
+    """f32/bf16 signed [..., C] -> int4-range int8 storage in [-7, 7];
+    `scale` should be abs-max / 7."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -7.0, 7.0).astype(jnp.int8)
+
+
+def requantize_i8_to_u4s(v: jax.Array, s8, s4) -> jax.Array:
+    """int8 post-ReLU values at scale s8 -> shifted-u4 at scale s4.
+    round(q * s8/s4) is exactly the u4 requantize of the dequantized
+    value (same identity the int8 concat rescale uses)."""
+    u = jnp.clip(jnp.round(v.astype(jnp.float32) * (s8 / s4)), 0.0, 15.0)
+    return (u - 8.0).astype(jnp.int8)
+
+
+def conv3x3_int4_acc(x_q, w_q, shifted=False, emulate=None) -> jax.Array:
+    """The int4 x int4 -> int32 conv core: returns the raw accumulator
+    (with the shifted-u4 constant correction applied when `shifted`).
+    v5e runs this at ~2x the int8 MXU rate (234-826 T/s vs 157-211 int8
+    same-session at every cin>=128 serving shape,
     results/r3/int4_probe2.txt).
 
     `x_q`/`w_q` are int4-RANGE values stored as int8 (see
@@ -328,11 +352,6 @@ def conv3x3_int4_xla(x_q, w_q, alpha, beta, out_kind="bf16",
     per-output-channel CONSTANT folded in here as integer math. 16 levels
     instead of 8 for free; exactness tested vs the integer oracle.
 
-    `out_kind='u4s'` requantizes the post-ReLU output to shifted-u4 (the
-    input encoding of the next int4 conv in a chain): u = clip(round(y /
-    1.0-scaled alpha), 0, 15), stored as int8 u-8 in [-8, 7]. The caller
-    bakes the output scale into alpha/beta.
-
     `emulate` (None = auto by backend): the CPU/GPU XLA backends cannot
     lower sub-byte conv operands ("custom element sizes on non-sub-byte
     types"); with emulate the contraction runs in int32 — bit-identical
@@ -340,22 +359,37 @@ def conv3x3_int4_xla(x_q, w_q, alpha, beta, out_kind="bf16",
     if emulate is None:
         emulate = jax.default_backend() == "cpu"
     cdt = jnp.int32 if emulate else jnp.int4
-    xi = x_q.astype(cdt)
-    wi = w_q.astype(cdt)
     dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     acc = lax.conv_general_dilated(
-        xi, wi, (1, 1), "VALID", dimension_numbers=dn,
-        preferred_element_type=jnp.int32)
+        x_q.astype(cdt), w_q.astype(cdt), (1, 1), "VALID",
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
     if shifted:
         corr = 8 * jnp.sum(w_q.astype(jnp.int32), axis=(0, 1, 2))
         acc = acc + corr
+    return acc
+
+
+def int4_epilogue(acc, alpha, beta, out_kind="bf16"):
+    """Fused scale+bias+ReLU(+requantize) epilogue shared by the int4
+    convs: y = relu(acc * alpha + beta). `out_kind='u4s'` requantizes to
+    shifted-u4 (the input encoding of the next int4 conv in a chain) —
+    the caller bakes the output scale into alpha/beta."""
     y = jnp.maximum(acc.astype(jnp.float32) * alpha + beta, 0.0)
     if out_kind == "int8":
         return jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
     if out_kind == "u4s":
         return (jnp.clip(jnp.round(y), 0.0, 15.0) - 8.0).astype(jnp.int8)
     return y.astype(jnp.bfloat16)
+
+
+def conv3x3_int4_xla(x_q, w_q, alpha, beta, out_kind="bf16",
+                     shifted=False, emulate=None):
+    """XLA int4 conv with the fused scale+bias+ReLU epilogue — see
+    conv3x3_int4_acc (the MXU core + operand encodings) and int4_epilogue
+    (the out_kind contract)."""
+    acc = conv3x3_int4_acc(x_q, w_q, shifted=shifted, emulate=emulate)
+    return int4_epilogue(acc, alpha, beta, out_kind=out_kind)
 
 
 def conv3x3_int8_xla(x_q, w_q, alpha, beta, out_kind="bf16"):
