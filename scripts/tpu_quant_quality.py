@@ -67,6 +67,9 @@ def main():
         "iou_drop_frac": round(drop, 6),
         "gate": "PASS" if drop < 0.005 else "FAIL",
     }
+    # the int8 gate is scarce-hardware output: print it NOW so a hang or
+    # timeout in the tier evaluations below cannot discard it
+    print(json.dumps(out), flush=True)
     # the lower-precision serving tiers: phase-packed level 0 and the w4a4
     # mid-depth path (each tier's measured drop is ITS documented contract;
     # the int4 tier trades precision for ~2x MXU rate and carries a looser

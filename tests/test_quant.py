@@ -607,3 +607,41 @@ def test_evaluate_int4_phase_smoke(trained_tiny):
     r = evaluate(model, params, data, verbose=False, quant="int4-phase")
     assert 0.0 <= r["iou_mean"] <= 1.0
     assert r["iou_mean"] > 0.4, r
+
+
+def test_int4_only_decoder_conv_with_float_skip(trained_tiny):
+    """q4names containing a dec conv whose encoder counterpart stays float:
+    capture_skip stores the skip u4s at the source scale and the split conv
+    consumes it — logits stay close to bf16."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales,
+                              qnames=frozenset(),
+                              q4names=frozenset({"dec1_conv1"}))
+    assert qp.q4names == {"dec1_conv1"} and not qp.qnames
+    bparams = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    pred_b, logit_b = _predict64(lambda x: model.apply(bparams, x), imgs)
+    pred_q, logit_q = _predict64(QuantInference(qp).apply, imgs)
+    scale = np.abs(logit_b).max()
+    assert np.abs(logit_q - logit_b).max() < 0.35 * scale
+    agree = ((pred_q != 0) & (pred_b != 0)).sum() / max(
+        ((pred_q != 0) | (pred_b != 0)).sum(), 1)
+    assert agree > 0.9
+
+
+def test_quant_path_tier_mismatch_rejected(trained_tiny, tmp_path):
+    """A serialized QuantParams artifact defines its own precision tier;
+    requesting the other tier from the same path must error, not silently
+    serve mislabeled results."""
+    from tpu_unet.infer.tester import evaluate
+
+    model, params, _, data = trained_tiny
+    path = str(tmp_path / "qp_int8.npz")
+    r = evaluate(model, params, data, verbose=False, quant="int8",
+                 quant_path=path)
+    assert 0.0 <= r["iou_mean"] <= 1.0
+    with pytest.raises(ValueError, match="tier"):
+        evaluate(model, params, data, verbose=False, quant="int4",
+                 quant_path=path)

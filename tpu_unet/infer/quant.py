@@ -45,12 +45,14 @@ from tpu_unet.ops.conv_tiles import (
     conv3x3_int4_acc,
     conv3x3_int4_xla,
     conv3x3_int8_xla,
+    int4_epilogue,
     quantize_activations,
     quantize_activations_s4,
     quantize_activations_u4s,
     quantize_weights,
     quantize_weights_int4,
     requantize_i8_to_u4s,
+    requantize_u4s_to_i8,
 )
 
 # 4-bit activation scales derive from the same calibration as int8: the
@@ -490,9 +492,7 @@ class QuantInference:
             # of the dequantized value)
             s4 = s_in[1]
             s_in = qp.scales[self._input_scale_key(name)]
-            v = jnp.clip(jnp.round((v.astype(jnp.float32) + 8.0)
-                                   * (s4 / s_in)),
-                         0.0, 127.0).astype(jnp.int8)
+            v = requantize_u4s_to_i8(v, s4, s_in)
         elif s_in is None:
             s_in = qp.scales[self._input_scale_key(name)]
             v = quantize_activations(v, s_in)
@@ -542,8 +542,9 @@ class QuantInference:
         t = (acc_sk.astype(jnp.float32) * jnp.float32(s_sk4)
              + acc_up.astype(jnp.float32) * jnp.float32(s_up4))
         s_out4 = qp.scales[name] * _U4
-        y = jnp.maximum((t * s_w + bias) / s_out4, 0.0)
-        y = (jnp.clip(jnp.round(y), 0.0, 15.0) - 8.0).astype(jnp.int8)
+        y = int4_epilogue(t, (s_w / s_out4).astype(jnp.float32),
+                          (bias / s_out4).astype(jnp.float32),
+                          out_kind="u4s")
         return y, ("u4s", s_out4)
 
     def _input_scale_key(self, name: str) -> str:
@@ -616,6 +617,13 @@ class QuantInference:
             if s is None and f"dec{d}_conv1" in qp.qnames and key in qp.scales:
                 s_cat = qp.scales[key]
                 return quantize_activations(v, s_cat), s_cat
+            if (s is None and f"dec{d}_conv1" in qp.q4names
+                    and f"enc{d}_conv2" in qp.scales):
+                # float skip feeding an int4 decoder conv: capture u4s at
+                # the source scale (same value _conv_i4_split would
+                # compute; held tensor quantized next to its producer)
+                s4 = qp.scales[f"enc{d}_conv2"] * _U4
+                return quantize_activations_u4s(v, s4), ("u4s", s4)
             return v, s
 
         v, s = x.astype(jnp.bfloat16), None
@@ -772,10 +780,7 @@ class QuantInference:
                 if sk_s is None:
                     sk_q = quantize_activations(sk, s_cat)
                 elif isinstance(sk_s, tuple):  # u4s skip from an int4 enc
-                    sk_q = jnp.clip(
-                        jnp.round((sk.astype(jnp.float32) + 8.0)
-                                  * (sk_s[1] / s_cat)),
-                        0.0, 127.0).astype(jnp.int8)
+                    sk_q = requantize_u4s_to_i8(sk, sk_s[1], s_cat)
                 elif sk_s == s_cat:
                     sk_q = sk          # captured at the concat scale already
                 else:

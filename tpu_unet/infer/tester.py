@@ -95,8 +95,17 @@ def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
         qi = _QUANT_CACHE.get(key)
         if qi is None:
             if os.path.exists(quant_path) or os.path.exists(quant_path + ".npz"):
-                qi = QuantInference(load_quant_params(quant_path),
-                                    phase_level0=phase_level0)
+                qp = load_quant_params(quant_path)
+                # a serialized artifact defines its own precision; serving
+                # it under the other tier would silently mislabel results
+                if bool(qp.q4names) != int4:
+                    have = "int4" if qp.q4names else "int8"
+                    want = "int4" if int4 else "int8"
+                    raise ValueError(
+                        f"quant_path {quant_path!r} holds an {have}-tier "
+                        f"QuantParams but quant requested the {want} tier; "
+                        f"use a separate path per tier")
+                qi = QuantInference(qp, phase_level0=phase_level0)
             else:
                 calib = calibration_batch([p[0] for p in prepared])
                 qi = build_quant_inference(model, params, calib,

@@ -334,6 +334,13 @@ def requantize_i8_to_u4s(v: jax.Array, s8, s4) -> jax.Array:
     return (u - 8.0).astype(jnp.int8)
 
 
+def requantize_u4s_to_i8(v: jax.Array, s4, s8) -> jax.Array:
+    """shifted-u4 post-ReLU values at scale s4 -> int8 at scale s8 (the
+    inverse boundary: an int4 producer feeding an int8 consumer)."""
+    return jnp.clip(jnp.round((v.astype(jnp.float32) + 8.0) * (s4 / s8)),
+                    0.0, 127.0).astype(jnp.int8)
+
+
 def conv3x3_int4_acc(x_q, w_q, shifted=False, emulate=None) -> jax.Array:
     """The int4 x int4 -> int32 conv core: returns the raw accumulator
     (with the shifted-u4 constant correction applied when `shifted`).
@@ -357,7 +364,9 @@ def conv3x3_int4_acc(x_q, w_q, shifted=False, emulate=None) -> jax.Array:
     types"); with emulate the contraction runs in int32 — bit-identical
     values, no MXU rate claim — so the full serving path is CPU-testable."""
     if emulate is None:
-        emulate = jax.default_backend() == "cpu"
+        # only TPU-class backends lower sub-byte conv operands (CPU and
+        # GPU XLA both reject them); 'axon' is the tunneled v5e
+        emulate = jax.default_backend() not in ("tpu", "axon")
     cdt = jnp.int32 if emulate else jnp.int4
     dn = lax.conv_dimension_numbers(x_q.shape, w_q.shape,
                                     ("NHWC", "HWIO", "NHWC"))
