@@ -7,6 +7,7 @@ Writes runs/synthetic_tpu/ (progress curves, checkpoints) and prints a final
 JSON summary line.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -26,7 +27,16 @@ from tpu_unet.train import Trainer
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    ap = argparse.ArgumentParser()
+    ap.add_argument("epochs", nargs="?", type=int, default=60)
+    ap.add_argument("--phase-level0", action="store_true",
+                    help="train with the phase-packed level-0 formulation "
+                         "(the production default since the r3 A/B)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    epochs = args.epochs
+    out_dir = args.out or ("runs/synthetic_tpu_phase" if args.phase_level0
+                           else "runs/synthetic_tpu")
     t0 = time.time()
     data = synthetic_dataset(n_images=8, h=256, w=256, n_cells=5, crop=196,
                              seed=0)
@@ -34,16 +44,18 @@ def main():
                        weight_mode="distance", goal=0.95, goal_direction="max")
     trainer = Trainer(
         ds,
-        model_cfg=ModelConfig(compute_dtype="bfloat16"),
+        model_cfg=ModelConfig(compute_dtype="bfloat16",
+                              phase_level0=args.phase_level0),
         train_cfg=TrainConfig(batch_size=2, checkpoint_every=25),
         aug_cfg=AugmentConfig(crop=196),
         loss_cfg=LossConfig(weight_mode="distance", max_objects=16),
-        out_dir="runs/synthetic_tpu",
+        out_dir=out_dir,
         verbose=True,
     )
     hist = trainer.fit(data, data, epochs=epochs)
     print(json.dumps({
         "epochs": epochs,
+        "phase_level0": args.phase_level0,
         "final_val_iou": hist["val_iou"][-1],
         "best_val_iou": max(hist["val_iou"]),
         "final_val_pe": hist["val_pe"][-1],
