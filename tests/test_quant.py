@@ -159,6 +159,13 @@ def test_quant_params_save_load_roundtrip(trained_tiny, tmp_path):
     save_quant_params(path, qp)
     qp2 = load_quant_params(path)
     assert qp2.qnames == qp.qnames and qp2.cfg == qp.cfg
+    # level-0 float kernels stay f32 through the round trip (the phase
+    # engine quantizes them from full precision, not a bf16-rounded copy)
+    for name, (k, _) in qp2.fconv.items():
+        want = (jnp.float32 if name in ("enc0_conv1", "enc0_conv2",
+                                        "dec0_conv1", "dec0_conv2")
+                else jnp.bfloat16)
+        assert k.dtype == want, (name, k.dtype)
     x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
                            mode="reflect"))[..., None]
     a = QuantInference(qp).apply(x)
@@ -456,6 +463,33 @@ def test_phase_level0_validation():
         QuantInference(pqp, phase_level0="bf16")
 
 
+def test_phase_level0_q4_level0_rejected(trained_tiny):
+    """phase_level0 combined with an int4 level-0 conv is rejected with a
+    descriptive ValueError — prepare strips q4names from both qnames and
+    fconv, so without the guard _phase_prep would die on a bare KeyError."""
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    scales = add_concat_scales(model.cfg, calibrate(model, params, calib))
+    qp = prepare_quant_params(model.cfg, params, scales, frozenset(),
+                              q4names=frozenset({"enc0_conv2"}))
+    with pytest.raises(ValueError, match="int4 level-0"):
+        QuantInference(qp, interpret=True, phase_level0="bf16")
+
+
+def test_phase_bf16_missing_scales_friendly_error():
+    """mode='bf16' with a level-0 conv in qnames still folds calibration
+    scales; a hand-assembled scales dict must get the descriptive error,
+    not a KeyError from fold()."""
+    cfg = ModelConfig(base_width=8)
+    model = UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 188, 188, 1)))
+    qp = prepare_quant_params(cfg, params, {"input": 1.0},
+                              qnames=frozenset({"enc0_conv2"}))
+    with pytest.raises(ValueError, match="calibration scale set"):
+        QuantInference(qp, interpret=True, phase_level0="bf16")
+
+
 def test_phase_rectangular_input(trained_tiny):
     """Strip-shaped (rectangular) tiles ride the phase engine too: both
     dims pack independently and the level-0 crop margin (88 full-res px)
@@ -629,6 +663,63 @@ def test_int4_only_decoder_conv_with_float_skip(trained_tiny):
     agree = ((pred_q != 0) & (pred_b != 0)).sum() / max(
         ((pred_q != 0) | (pred_b != 0)).sum(), 1)
     assert agree > 0.9
+
+
+def test_int4_split_dec_conv_pad_encodes_zero(trained_tiny):
+    """The parity skip variant PADS the skip up to the upconv size, and the
+    int4 split conv pads in shifted-u4 encoding, where a real zero is
+    STORED as -8: a 0 fill would decode to 8*s_sk4 and the +8*sum(w) shift
+    correction would inject that phantom activation across the padded
+    region. Oracle: the padded region must behave as u = 0 exactly.
+
+    (A full parity-geometry quality gate is not usable here: on the
+    saturated parity-init fixture EVERY SINGLE int4 layer alone costs
+    5-22% prediction agreement — per-tensor w4a4 error on that weight
+    distribution, unrelated to padding — so the contract is pinned at the
+    op level instead.)"""
+    from tpu_unet.infer.quant import _S4, _U4
+    from tpu_unet.models import center_crop_or_pad
+    from tpu_unet.ops.conv_tiles import quantize_activations_s4
+
+    model, params, imgs, _ = trained_tiny
+    calib = jnp.asarray(np.pad(imgs[:1], ((0, 0), (94, 94), (94, 94)),
+                               mode="reflect"))[..., None]
+    qi = build_quant_inference(model, params, calib, min_channels=16,
+                               int4=True)
+    qp = qi.qp
+    d = 1
+    name = f"dec{d}_conv1"
+    assert name in qp.q4names
+    rng = np.random.RandomState(1)
+    c_skip = model.cfg.widths[d]
+    # skip SMALLER than the up tensor -> center_crop_or_pad pads it up
+    sk = jnp.asarray(rng.randint(-8, 8, (1, 12, 12, c_skip)).astype(np.int8))
+    s_sk4 = qp.scales[f"enc{d}_conv2"] * _U4
+    u = jnp.asarray((rng.randn(1, 16, 16, c_skip) * 0.3).astype(np.float32))
+    got, (tag, s_out4) = qi._conv_i4_split(d, u, (sk, ("u4s", s_sk4)))
+    assert tag == "u4s"
+
+    # oracle: unshift to u in [0, 15], zero-pad THAT (real zero), conv
+    w_q, s_w, bias = qp.q4conv[name]
+    s_up4 = qp.scales[f"up{d}"] * _S4
+    u_q = quantize_activations_s4(u, s_up4)
+    sk_u = center_crop_or_pad(sk.astype(jnp.int32) + 8, u.shape[1:3])
+    dn = jax.lax.conv_dimension_numbers(
+        (1, 16, 16, c_skip), (3, 3, c_skip, w_q.shape[-1]),
+        ("NHWC", "HWIO", "NHWC"))
+    acc_sk = jax.lax.conv_general_dilated(
+        sk_u, w_q[:, :, :c_skip].astype(jnp.int32),
+        (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    acc_up = jax.lax.conv_general_dilated(
+        u_q.astype(jnp.int32), w_q[:, :, c_skip:].astype(jnp.int32),
+        (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    t = (np.asarray(acc_sk, np.float32) * s_sk4
+         + np.asarray(acc_up, np.float32) * s_up4)
+    y = np.maximum((t * np.asarray(s_w) + np.asarray(bias)) / s_out4, 0.0)
+    exp = (np.clip(np.round(y), 0.0, 15.0) - 8.0).astype(np.int8)
+    assert np.array_equal(np.asarray(got), exp)
 
 
 def test_quant_path_tier_mismatch_rejected(trained_tiny, tmp_path):

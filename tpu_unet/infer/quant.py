@@ -148,10 +148,19 @@ class QuantParams:
     qnames: FrozenSet[str]
     scales: Dict[str, float]
     qconv: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]  # name -> (w_q, s_w, bias)
-    fconv: Dict[str, Tuple[jax.Array, jax.Array]]             # name -> (kernel bf16, bias)
+    # name -> (kernel, bias); kernels are bf16 except the level-0 convs
+    # (_LEVEL0_CONVS), kept f32 so the phase engine quantizes them from full
+    # precision — bf16 compute paths cast at use.
+    fconv: Dict[str, Tuple[jax.Array, jax.Array]]
     q4names: FrozenSet[str] = frozenset()
     q4conv: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = \
         dataclasses.field(default_factory=dict)  # name -> (w_q4, s_w4, bias)
+
+
+# The level-0 convs the phase engine may re-quantize at serving time: their
+# fconv kernels stay float32 (quantizing from a bf16-rounded copy would cost
+# ~1 LSB of per-channel scale fidelity for nothing — the tensors are tiny).
+_LEVEL0_CONVS = ("enc0_conv1", "enc0_conv2", "dec0_conv1", "dec0_conv2")
 
 
 def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
@@ -173,7 +182,8 @@ def prepare_quant_params(cfg: ModelConfig, params, scales: Dict[str, float],
             w_q, s_w = quantize_weights(kernel)
             qconv[name] = (w_q, s_w, bias)
         else:
-            fconv[name] = (kernel.astype(jnp.bfloat16), bias)
+            fconv[name] = (kernel if name in _LEVEL0_CONVS
+                           else kernel.astype(jnp.bfloat16), bias)
     for d in range(cfg.depth):
         fconv[f"up{d}"] = (p[f"up{d}"]["kernel"].astype(jnp.bfloat16),
                            p[f"up{d}"]["bias"].astype(jnp.float32))
@@ -294,12 +304,21 @@ class QuantInference:
         into their phase-domain forms — see ops/phase.py for the math.
         Channel convention is phase-major ((p*2+q)*C + c), so every bias /
         scale vector lifts by ``np.tile(v, 4)``."""
-        from tpu_unet.ops.phase import (phase_head_kernel, phase_pack_kernel,
-                                        phase_upconv_weights)
+        from tpu_unet.ops.phase import phase_pack_kernel, phase_upconv_weights
 
         qp = self.qp
         w0 = qp.cfg.widths[0]
-        if mode == "int8" or "dec0_conv1" in qp.qnames:
+        bad_q4 = sorted(qp.q4names & set(_LEVEL0_CONVS))
+        if bad_q4:
+            raise ValueError(
+                "phase_level0 serves level 0 in bf16/int8; int4 level-0 "
+                f"convs are unsupported (q4names contains: {bad_q4})")
+        # level0_pair folds calibration scales whenever a level-0 conv is
+        # quantized — under mode='bf16' that still happens for any level-0
+        # conv in qnames, so the friendly check must fire then too.
+        if (mode == "int8"
+                or not {"enc0_conv2", "dec0_conv1",
+                        "dec0_conv2"}.isdisjoint(qp.qnames)):
             missing = [k for k in ("enc0_conv1", "enc0_conv2", "up0",
                                    "dec0_conv1", "dec0_conv2")
                        if k not in qp.scales]
@@ -376,10 +395,11 @@ class QuantInference:
                               np.zeros_like(np.asarray(b)))
             P["dec0_conv1"] = ("bf16", ksk, kup, bb)
 
-        kh, bh = qp.fconv["head"]
-        P["head"] = (jnp.asarray(phase_head_kernel(
-            np.asarray(kh, np.float32)), jnp.bfloat16),
-            jnp.asarray(np.tile(np.asarray(bh, np.float32), 4)))
+        # head: raw [1, 1, C, O] kernel + [O] bias — _phase_dec0 runs it as
+        # the per-phase matmul (ops/phase.phase_head_matmul, the same form
+        # the training model's packed head uses); the dense block-diagonal
+        # phase_head_kernel conv spends 4x the MACs for identical output.
+        P["head"] = qp.fconv["head"]
         return P
 
     def _phase_dec0(self, v, s, skip, cut):
@@ -387,7 +407,7 @@ class QuantInference:
         concat as two split-kernel convs (each source at its own scale),
         packed dec0 convs + head, depth-to-space only on the logits."""
         from tpu_unet.ops.phase import (conv2x2_valid, depth_to_space,
-                                        phase_crop)
+                                        phase_crop, phase_head_matmul)
 
         qp = self.qp
         P = self._phase
@@ -444,11 +464,12 @@ class QuantInference:
 
         kh, bh = P["head"]
         vb = self._deq(v, s).astype(jnp.bfloat16)
-        y = conv2x2_valid(vb, kh, jnp.float32) + bh
+        y = phase_head_matmul(vb, kh, bh)
         return depth_to_space(y)
 
     def _conv_f(self, name: str, v: jax.Array, paired: bool = False) -> jax.Array:
         k, b = self.qp.fconv[name]
+        k = k.astype(jnp.bfloat16)   # level-0 entries are stored f32
         if paired:
             k = self._blockdiag(k)
             b = jnp.concatenate([b, b])
@@ -534,7 +555,12 @@ class QuantInference:
         else:
             s_sk4 = sk_s * _U4
             sk = requantize_i8_to_u4s(sk, sk_s, s_sk4)
-        sk = center_crop_or_pad(sk, u.shape[1:3])
+        # sk is shifted-u4 here: a real zero activation is STORED as -8
+        # (u4s keeps u in [0,15] as u-8), so the parity variant's pad-up
+        # must fill -8 — a 0 fill would decode to 8*s_sk4 and
+        # conv3x3_int4_acc's +8*sum(w) shift correction would inject that
+        # phantom activation across the whole padded region.
+        sk = center_crop_or_pad(sk, u.shape[1:3], fill=-8)
         s_up4 = qp.scales[f"up{d}"] * _S4
         u_q = quantize_activations_s4(u, s_up4)
         acc_sk = conv3x3_int4_acc(sk, w_q[:, :, :c_skip], shifted=True)
@@ -672,8 +698,9 @@ class QuantInference:
                 key = "dec0_conv1:cat"
                 s_skip = (qp.scales[key] if "dec0_conv1" in qp.qnames
                           and key in qp.scales else 0.0)
-                skip, v = enc0_chain(v, k1, b1, k2, b2, skip_scale=s_skip,
-                                     interpret=interp,
+                skip, v = enc0_chain(v, k1.astype(jnp.bfloat16), b1,
+                                     k2.astype(jnp.bfloat16), b2,
+                                     skip_scale=s_skip, interpret=interp,
                                      **self.fused_enc0_opts)
                 skips.append((skip, s_skip if s_skip else None))
                 s = None
@@ -872,8 +899,9 @@ def save_quant_params(path: str, qp: QuantParams) -> None:
         arrays[f"q4:{name}:s"] = np.asarray(s_w)
         arrays[f"q4:{name}:b"] = np.asarray(bias)
     for name, (k, b) in qp.fconv.items():
-        # npz has no bf16: store f32, restore to bf16 (exact round-trip —
-        # every bf16 is representable in f32)
+        # npz has no bf16: store f32, restore to the prepare-time dtype
+        # (bf16 round-trips exactly through f32; the level-0 kernels are
+        # f32 in fconv and stay f32 — see _LEVEL0_CONVS)
         arrays[f"f:{name}:k"] = np.asarray(k, dtype=np.float32)
         arrays[f"f:{name}:b"] = np.asarray(b)
     meta = {
@@ -913,7 +941,9 @@ def load_quant_params(path: str) -> QuantParams:
                                 jnp.asarray(z[f"q4:{name}:b"]))
             elif kind == "f" and rest.endswith(":k"):
                 name = rest[:-2]
-                fconv[name] = (jnp.asarray(z[f"f:{name}:k"], jnp.bfloat16),
+                dt = (jnp.float32 if name in _LEVEL0_CONVS
+                      else jnp.bfloat16)
+                fconv[name] = (jnp.asarray(z[f"f:{name}:k"], dt),
                                jnp.asarray(z[f"f:{name}:b"]))
     return QuantParams(cfg=cfg, qnames=frozenset(meta["qnames"]),
                        scales=dict(meta["scales"]), qconv=qconv, fconv=fconv,

@@ -35,12 +35,16 @@ from flax import linen as nn
 from tpu_unet.config import ModelConfig
 
 
-def center_crop_or_pad(a: jax.Array, target_hw: Sequence[int]) -> jax.Array:
-    """Center-crop (if larger) or zero-pad (if smaller) NHWC `a` to target H,W.
+def center_crop_or_pad(a: jax.Array, target_hw: Sequence[int],
+                       fill=0) -> jax.Array:
+    """Center-crop (if larger) or pad with `fill` (if smaller) NHWC `a` to
+    target H,W.
 
     Generalizes reference ``network.py:108-127`` (``F.pad`` with negative pad
     crops, positive pad zero-fills); offsets truncate toward zero like the
-    reference's ``int((A - B) * 0.5)``.
+    reference's ``int((A - B) * 0.5)``. `fill` is the padded value in the
+    tensor's own encoding — e.g. -8 for shifted-u4 tensors, whose stored
+    code for a real zero activation is -8, not 0.
     """
     h, w = a.shape[1], a.shape[2]
     th, tw = target_hw
@@ -48,11 +52,12 @@ def center_crop_or_pad(a: jax.Array, target_hw: Sequence[int]) -> jax.Array:
     dw = int((w - tw) * 0.5)
     if dh > 0 or dw > 0:  # crop
         a = a[:, max(dh, 0): max(dh, 0) + min(th, h), max(dw, 0): max(dw, 0) + min(tw, w), :]
-    if dh < 0 or dw < 0:  # zero-pad
+    if dh < 0 or dw < 0:  # pad
         ph, pw = max(-dh, 0), max(-dw, 0)
         a = jnp.pad(
             a,
             ((0, 0), (ph, th - a.shape[1] - ph), (pw, tw - a.shape[2] - pw), (0, 0)),
+            constant_values=fill,
         )
     return a
 
@@ -227,14 +232,15 @@ def matmul_upconv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     applied spatially flipped by lax.conv_transpose — flipped here so both
     paths consume the same checkpoints). Shared by _MatmulUpconv and the
     quantized serving forward (infer/quant.py)."""
+    from tpu_unet.ops.phase import mirrored_upconv_matrix
+
     cin = x.shape[-1]
     co = kernel.shape[-1]
     x = x.astype(dtype)
     b, h, w, _ = x.shape
     # [dy, dx, cin, co] -> [cin, dy*dx*co]: the dot's N axis carries the
     # four output sub-pixels contiguously per channel block.
-    wr = (kernel[::-1, ::-1].astype(dtype)
-          .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
+    wr = mirrored_upconv_matrix(kernel.astype(dtype))
     y = jnp.dot(x.reshape(b * h * w, cin), wr,
                 preferred_element_type=jnp.float32)
     y = (y.reshape(b, h, w, 2, 2, co)

@@ -75,6 +75,17 @@ def depth_to_space(x: jax.Array) -> jax.Array:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+# The 9/16 tap-placement structure shared by the numpy and jnp packers:
+# (packed window pos aa/bb, input-phase index p*2+q, output-phase index
+# r*2+s) -> source tap (a, b) of the 3x3 kernel. 36 placements.
+_PACK_PLACEMENTS: Tuple[Tuple[int, int, int, int, int, int], ...] = tuple(
+    (aa, bb, p * 2 + q, r * 2 + s, 2 * aa + p - r, 2 * bb + q - s)
+    for aa in range(2) for bb in range(2)
+    for p in range(2) for q in range(2)
+    for r in range(2) for s in range(2)
+    if 0 <= 2 * aa + p - r <= 2 and 0 <= 2 * bb + q - s <= 2)
+
+
 def phase_pack_kernel(w) -> np.ndarray:
     """[3, 3, Ci, Co] conv kernel -> its [2, 2, 4Ci, 4Co] phase-domain form.
 
@@ -83,25 +94,16 @@ def phase_pack_kernel(w) -> np.ndarray:
     (2i+r+a, 2j+s+b); writing r+a = 2A+p maps tap a to packed-window
     position A and input phase p, so
     ``W2[A, B, (p,q,c), (r,s,o)] = w[2A+p-r, 2B+q-s, c, o]`` where the tap
-    indices land in [0, 2] and zero elsewhere (9/16 density). Host-side
-    (numpy): runs once per checkpoint load.
+    indices land in [0, 2] and zero elsewhere (9/16 density,
+    ``_PACK_PLACEMENTS``). Host-side (numpy): runs once per checkpoint load.
     """
     w = np.asarray(w)
     kh, kw, ci, co = w.shape
     if (kh, kw) != (3, 3):
         raise ValueError(f"phase_pack_kernel expects 3x3, got {kh}x{kw}")
     out = np.zeros((2, 2, 4, ci, 4, co), w.dtype)
-    for aa in range(2):
-        for bb in range(2):
-            for p in range(2):
-                for q in range(2):
-                    for r in range(2):
-                        for s in range(2):
-                            a = 2 * aa + p - r
-                            b = 2 * bb + q - s
-                            if 0 <= a <= 2 and 0 <= b <= 2:
-                                out[aa, bb, p * 2 + q, :, r * 2 + s, :] = (
-                                    w[a, b])
+    for aa, bb, pq, rs, a, b in _PACK_PLACEMENTS:
+        out[aa, bb, pq, :, rs, :] = w[a, b]
     return out.reshape(2, 2, 4 * ci, 4 * co)
 
 
@@ -111,22 +113,14 @@ def phase_pack_kernel_jnp(w: jax.Array) -> jax.Array:
     keep the canonical 3x3 parameter tree (checkpoint interop) and pack per
     step — the packing is 36 static slice writes on a kernel-sized tensor
     (negligible next to the convs), and autodiff accumulates the 9/16
-    placement structure back onto the 3x3 gradient automatically."""
+    placement structure (``_PACK_PLACEMENTS``) back onto the 3x3 gradient
+    automatically."""
     kh, kw, ci, co = w.shape
     if (kh, kw) != (3, 3):
         raise ValueError(f"phase_pack_kernel_jnp expects 3x3, got {kh}x{kw}")
     out = jnp.zeros((2, 2, 4, ci, 4, co), w.dtype)
-    for aa in range(2):
-        for bb in range(2):
-            for p in range(2):
-                for q in range(2):
-                    for r in range(2):
-                        for s in range(2):
-                            a = 2 * aa + p - r
-                            b = 2 * bb + q - s
-                            if 0 <= a <= 2 and 0 <= b <= 2:
-                                out = out.at[aa, bb, p * 2 + q, :,
-                                             r * 2 + s, :].set(w[a, b])
+    for aa, bb, pq, rs, a, b in _PACK_PLACEMENTS:
+        out = out.at[aa, bb, pq, :, rs, :].set(w[a, b])
     return out.reshape(2, 2, 4 * ci, 4 * co)
 
 
@@ -134,6 +128,19 @@ def phase_bias(bias: jax.Array) -> jax.Array:
     """[C] bias -> its packed [4C] form (phase-major layout: channel
     (phi)*C + c reads bias[c], i.e. a 4x tile)."""
     return jnp.tile(bias, 4)
+
+
+def mirrored_upconv_matrix(kernel):
+    """[2, 2, Ci, Co] transpose-conv kernel -> the packed ``[Ci, 4Co]``
+    matmul matrix, columns phase-major ((dy*2+dx)*Co + c), kernel spatially
+    MIRRORED — ``lax.conv_transpose`` scatters ``k[1-p, 1-q]`` into block
+    offset (p, q). The single source of the layout shared by
+    :func:`phase_upconv_matmul`, :func:`phase_upconv_weights`, and
+    ``models.unet.matmul_upconv``; works on numpy and jax arrays alike."""
+    kh, kw, ci, co = kernel.shape
+    if (kh, kw) != (2, 2):
+        raise ValueError(f"mirrored_upconv_matrix expects 2x2, got {kh}x{kw}")
+    return kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(ci, 4 * co)
 
 
 def phase_upconv_matmul(x: jax.Array, kernel: jax.Array, bias: jax.Array,
@@ -146,9 +153,7 @@ def phase_upconv_matmul(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     cin = x.shape[-1]
     co = kernel.shape[-1]
     b, h, w, _ = x.shape
-    # [dy, dx, ci, co] mirrored -> [ci, (dy*2+dx)*co + c]: phase-major.
-    wr = (kernel[::-1, ::-1].astype(dtype)
-          .transpose(2, 0, 1, 3).reshape(cin, 4 * co))
+    wr = mirrored_upconv_matrix(kernel.astype(dtype))
     y = jnp.dot(x.astype(dtype).reshape(b * h * w, cin), wr,
                 preferred_element_type=jnp.float32)
     y = y + phase_bias(bias).astype(jnp.float32)
@@ -182,9 +187,9 @@ def phase_pool(x: jax.Array) -> jax.Array:
 
 
 def phase_upconv_weights(k, bias=None) -> Tuple[np.ndarray, np.ndarray]:
-    """2x2/stride-2 transpose-conv kernel [2, 2, Co, Ci] (jax conv_transpose
-    HWIO takes IO as (in, out) -> here (Ci, Co)) to its packed matmul form
-    ``[Ci, 4Co]`` with the matching [4Co] bias.
+    """2x2/stride-2 transpose-conv kernel [2, 2, Ci, Co] (the jax
+    ``conv_transpose`` HWIO layout: I = Ci, O = Co) to its packed matmul
+    form ``[Ci, 4Co]`` with the matching [4Co] bias.
 
     With stride == kernel size the scattered 2x2 blocks are disjoint, and
     ``lax.conv_transpose`` scatters the MIRRORED kernel (measured:
@@ -192,10 +197,8 @@ def phase_upconv_weights(k, bias=None) -> Tuple[np.ndarray, np.ndarray]:
     whose output is already phase-packed.
     """
     k = np.asarray(k)
-    kh, kw, ci, co = k.shape
-    if (kh, kw) != (2, 2):
-        raise ValueError(f"phase_upconv_weights expects 2x2, got {kh}x{kw}")
-    m = np.transpose(k[::-1, ::-1], (2, 0, 1, 3)).reshape(ci, 4 * co)
+    co = k.shape[-1]
+    m = mirrored_upconv_matrix(k)
     if bias is None:
         return m, np.zeros((4 * co,), k.dtype)
     return m, np.tile(np.asarray(bias), 4)
