@@ -386,12 +386,17 @@ def main():
     elif args.batch:
         candidates = [(args.batch, args.tile_out)]
     else:
-        # Best-first per mode, measured same-window (results/r2/
-        # bench_tilesweep2.log): int8 peaks at 16x1188 (364.5 tiles/s; 1028
-        # gives 353.6, 1604 333.2, 1316+ fails remote compilation); bf16
-        # cannot compile 1188 at batch 16, so its list starts at 1028
-        # (265). Later entries are compile-safe fallbacks — each mode stops
-        # at its first success.
+        # Best-first per mode, measured same-window. Plain int8 peaked at
+        # 16x1188 (results/r2/bench_tilesweep2.log: 364.5 tiles/s; 1028 gives
+        # 353.6, 1604 333.2, 1316+ fails remote compilation). Phase-int8 (the
+        # production level-0 formulation) removes the 128-lane padding on the
+        # level-0 activations, which lets 1348/1508-out compile — and 16x1348
+        # beat 16x1188 in BOTH same-session sweep orders (results/r3/
+        # bench_phase_tilesweep2.log: 388.5 vs 383.3; bench_phase_ab_rev.log
+        # reversed order: 398.1 vs 384.7, with 1508 slower and batch 24
+        # slower), so the int8 list leads 1348. bf16 cannot compile 1188+ at
+        # batch 16, so its list starts at 1028 (265). Later entries are
+        # compile-safe fallbacks — each mode stops at its first success.
         candidates = None  # per-mode lists below
 
     # int8 post-training-quantized serving path (infer/quant.py): measured
@@ -426,7 +431,7 @@ def main():
     fallbacks = not args.candidates
     if candidates is None:
         bf16_candidates = [(16, 1028), (8, 516)]
-        int8_candidates = [(16, 1188), (16, 1028), (8, 516)]
+        int8_candidates = [(16, 1348), (16, 1188), (16, 1028), (8, 516)]
     else:
         bf16_candidates = int8_candidates = candidates
 
