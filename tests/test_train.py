@@ -187,3 +187,80 @@ def test_fit_stops_on_goal(tmp_path):
     assert len(history["loss"]) == 3, history["loss"]
     goal_dir = tmp_path / "run" / "models" / "goal_synthgoal"
     assert os.path.isdir(goal_dir)
+
+
+# --------------------------------------------------------- async checkpoints
+
+
+def test_save_async_releases_superseded_states(tmp_path, monkeypatch):
+    """Latest-wins coalescing must RELEASE superseded device states, not
+    retain them in the executor queue: the round-4 recipe run exhausted TPU
+    HBM at epoch ~122 because each epoch's queued save pinned a full
+    params+momentum tree (~250 MB) while the ~25 s/save worker fell behind
+    (results/r4/recipe_train.log, results/r4/leak_probe_C.txt)."""
+    import gc
+    import time
+    import weakref
+
+    from tpu_unet.train.checkpoint import Checkpointer
+
+    class Payload:
+        """Weakref-able stand-in for a device array (a pytree leaf that
+        np.asarray can consume)."""
+
+        def __array__(self, dtype=None, copy=None):
+            return np.zeros(4, np.float32)
+
+    ckpt = Checkpointer(str(tmp_path / "models"))
+    orig_save = Checkpointer.save
+    n_saved = []
+
+    def slow_save(self, tag, device_state, host_state):
+        time.sleep(0.05)
+        n_saved.append(host_state["epoch"])
+        return orig_save(self, tag, device_state, host_state)
+
+    monkeypatch.setattr(Checkpointer, "save", slow_save)
+
+    refs = []
+    max_live = 0
+    for epoch in range(40):
+        p = Payload()
+        refs.append(weakref.ref(p))
+        ckpt.save_async("best", {"x": p}, {"epoch": epoch})
+        del p
+        gc.collect()
+        max_live = max(max_live, sum(r() is not None for r in refs))
+    ckpt.wait()
+    gc.collect()
+
+    # bounded pinning: at most the in-flight state + the pending slot (+1
+    # slack for the reference the worker is mid-drop on)
+    assert max_live <= 3, f"superseded states retained: {max_live} live"
+    # coalescing really happened (40 submissions, worker at 50 ms each)
+    assert len(n_saved) < 40
+    # latest state wins
+    assert n_saved[-1] == 39
+    _, host = Checkpointer.restore(
+        ckpt, "best", {"x": np.zeros(4, np.float32)})
+    assert host["epoch"] == 39
+
+
+def test_save_async_wait_reraises(tmp_path, monkeypatch):
+    from tpu_unet.train.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(str(tmp_path / "models"))
+
+    def boom(self, tag, device_state, host_state):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(Checkpointer, "save", boom)
+    ckpt.save_async("best", {"x": np.zeros(2)}, {"epoch": 0})
+    with pytest.raises(RuntimeError, match="disk full"):
+        ckpt.wait()
+    # a failed drain must not wedge the checkpointer: later saves still run
+    monkeypatch.undo()
+    ckpt.save_async("best", {"x": np.ones(2, np.float32)}, {"epoch": 1})
+    ckpt.wait()
+    state, host = ckpt.restore("best", {"x": np.zeros(2, np.float32)})
+    assert host["epoch"] == 1

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
@@ -45,7 +46,12 @@ class Checkpointer:
         self._ckptr = ocp.StandardCheckpointer()
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="ckpt")
-        self._pending: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+        # tag -> newest not-yet-started (device_state, host_state); replaced
+        # in place by save_async so superseded states are RELEASED, never
+        # queued (see save_async docstring for why queueing leaks HBM)
+        self._next: Dict[str, Tuple[Any, Dict[str, Any]]] = {}
+        self._inflight: Dict[str, Any] = {}  # tag -> drain Future
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
@@ -70,26 +76,66 @@ class Checkpointer:
 
     def save_async(self, tag: str, device_state: Any,
                    host_state: Dict[str, Any]) -> None:
-        """Queue a save without blocking the training loop.
+        """Queue a save without blocking the training loop — latest-wins
+        per tag, with superseded states RELEASED immediately.
 
-        Latest-wins per tag: if a save for the same tag is still queued (not
-        yet started), it is cancelled and replaced. Without this, fast epochs
-        outpace the device->host drain and every queued save pins its (stale)
-        device state tree — unbounded queueing exhausted HBM at ~150 epochs in
-        testing. At most one queued + one in-flight save per tag survive.
+        Each tag has one slot holding the newest pending state; a new save
+        overwrites it (dropping the old device-state reference) and the
+        worker drains whatever is newest when it gets there. This bounds
+        device memory at ~2 pinned states per tag regardless of how far
+        epochs outrun the device->host fetch.
+
+        Why not cancel-and-resubmit futures: a cancelled ThreadPoolExecutor
+        work item stays in the executor's queue — holding its args — until
+        the worker dequeues and discards it. With ~25 s per save over the
+        tunnel and sub-second epochs, that retained one full device state
+        (params+momentum, ~250 MB / ~96 arrays) per epoch and exhausted TPU
+        HBM at epoch ~122 of the round-4 recipe run
+        (results/r4/recipe_train.log; reproduced + isolated in
+        results/r4/leak_probe_C.txt with exactly this growth signature).
         """
-        prev = self._pending.get(tag)
-        if prev is not None and not prev.done():
-            prev.cancel()  # no-op if already running; superseded if queued
-        self._pending[tag] = self._executor.submit(
-            self.save, tag, device_state, dict(host_state))
+        with self._lock:
+            self._next[tag] = (device_state, dict(host_state))
+            f = self._inflight.get(tag)
+            if f is None or f.done():
+                self._inflight[tag] = self._executor.submit(self._drain, tag)
+
+    def _drain(self, tag: str) -> None:
+        while True:
+            with self._lock:
+                item = self._next.pop(tag, None)
+            if item is None:
+                return
+            self.save(tag, *item)
 
     def wait(self) -> None:
         """Drain queued async saves (re-raises the first failure)."""
-        for f in self._pending.values():
-            if not f.cancelled():
-                f.result()
-        self._pending = {}
+        err = None
+        while True:
+            with self._lock:
+                futures = list(self._inflight.items())
+            for _, f in futures:
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    if err is None:
+                        err = e
+            with self._lock:
+                # a save_async racing a finishing _drain can leave its slot
+                # filled with no live worker: restart drains until empty
+                stranded = [t for t in self._next
+                            if (self._inflight.get(t) is None
+                                or self._inflight[t].done())]
+                for t in stranded:
+                    self._inflight[t] = self._executor.submit(self._drain, t)
+                done = (not self._next
+                        and all(f.done() for f in self._inflight.values()))
+                if done:
+                    self._inflight = {}
+            if done:
+                if err is not None:
+                    raise err
+                return
 
     def restore(self, tag: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
         self.wait()
