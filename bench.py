@@ -28,20 +28,36 @@ def log(*a):
 HEALTHY_TILES_S_FLOOR = 364.5     # results/r2: int8-xla 16x1188
 HEALTHY_STEPS_S_FLOOR = 13.3      # round-1 healthy train window
 HEALTHY_FRACTION = 0.8
+# Control-normalized gate (VERDICT r3 item 3): the bf16 arm is session-stable
+# (265.4-267.8 across every record) while int8 windows swing +-8%
+# independently, so the int8/bf16 same-session ratio separates "this chip
+# window is globally degraded" (ratio normal, abs low -> bf16 low too) from
+# "the int8 arm specifically drew a bad window" (ratio low, bf16 normal).
+# Floor = best gated record on the current default workload / the bf16 range
+# midpoint: 391.2 / 266.5 = 1.468. Future records carry control_ratio in
+# their JSON and healthy_reference() tracks the max.
+HEALTHY_RATIO_FLOOR = 1.468
+RATIO_FRACTION = 0.92             # the documented +-8% int8-specific swing
 
 
-def healthy_reference(mode: str) -> float:
+def healthy_reference(mode: str, field: str = "value") -> float:
     """Best healthy-window bench value on record for `mode` ('infer' |
     'train'): scans BENCH_r*.json (driver records) and results/*/ *.json
     (session records) next to this file. A record counts if its unit matches
     the mode and carries an explicit window=="healthy" (pre-round-3 records
-    without the field are covered by the floor constants)."""
+    without the field are covered by the floor constants). `field` selects
+    the tracked number: "value" (absolute) or "control_ratio" (int8 / bf16
+    same-session control, round-4 records onward)."""
     import glob
     import os
 
     root = os.path.dirname(os.path.abspath(__file__))
     unit_prefix = "steps/sec" if mode == "train" else "tiles/sec"
-    best = HEALTHY_STEPS_S_FLOOR if mode == "train" else HEALTHY_TILES_S_FLOOR
+    if field == "control_ratio":
+        best = HEALTHY_RATIO_FLOOR
+    else:
+        best = (HEALTHY_STEPS_S_FLOOR if mode == "train"
+                else HEALTHY_TILES_S_FLOOR)
 
     def consider(rec):
         nonlocal best
@@ -52,7 +68,7 @@ def healthy_reference(mode: str) -> float:
         if not isinstance(rec, dict):
             return
         unit = str(rec.get("unit", ""))
-        value = rec.get("value")
+        value = rec.get(field)
         window = rec.get("window")
         if (unit.startswith(unit_prefix) and isinstance(value, (int, float))
                 and window == "healthy"):
@@ -135,7 +151,11 @@ def bench_train(args, model, cfg):
     # the tunnel backend (measured 69-75 ms/step vs 22.7 ms device time,
     # results/r3/bench_train_r3a.log, r3c.log) and measures the transport,
     # not the chip.
-    indices = jnp.asarray([0, 1], jnp.int32)
+    # batch 2 is the reference constant (main_main.py:136), not a TPU
+    # optimum — --train-batch measures the samples/s envelope at other
+    # batches (VERDICT r3 item 4); only batch 2 is gated.
+    batch = args.train_batch
+    indices = jnp.asarray(np.arange(batch) % data.images.shape[0], jnp.int32)
     key0 = jax.random.PRNGKey(1)
     n = args.iters
 
@@ -166,7 +186,7 @@ def bench_train(args, model, cfg):
         dt = max(time.perf_counter() - t0 - rt, 1e-9) / n
         sps = 1.0 / dt
         log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
-            f"({sps * 2:.2f} samples/s, batch 2)")
+            f"({sps * batch:.2f} samples/s, batch {batch})")
         return sps, state
 
     # Same degraded-window self-defense as infer mode (the pooled chip varies
@@ -175,7 +195,7 @@ def bench_train(args, model, cfg):
     # workload (non-default width/dtype measures something else).
     ref = healthy_reference("train")
     gated = (args.width_mult == 1 and args.dtype == "bfloat16"
-             and args.phase_level0)
+             and args.phase_level0 and batch == 2)
     attempts, best = [], 0.0
     for _ in range(3 if gated else 1):
         sps, state = measure_once(state)
@@ -194,9 +214,10 @@ def bench_train(args, model, cfg):
         "metric": ("fused train step (HeLa config: augment+EDT weights+bwd+SGD)"
                    + ("; phase-packed level 0" if args.phase_level0 else "")),
         "value": round(best, 3),
-        "unit": "steps/sec/chip (batch 2, 572-in)",
+        "unit": f"steps/sec/chip (batch {batch}, 572-in)",
         "vs_baseline": None,
         "window": window,
+        "samples_per_sec": round(best * batch, 2),
         "attempts": [round(a, 2) for a in attempts],
         "healthy_reference": ref,
     }))
@@ -211,6 +232,11 @@ def main():
                     help='comma list "BxT" pairs, e.g. "8x516,16x1028"')
     ap.add_argument("--mode", default="infer", choices=["infer", "train"],
                     help="train: fused train-step throughput (HeLa-like config)")
+    ap.add_argument("--train-batch", type=int, default=2,
+                    help="--mode train batch size (2 = the reference "
+                         "constant, main_main.py:136, and the only gated "
+                         "config; other values measure the samples/s "
+                         "envelope, VERDICT r3 item 4)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
@@ -259,8 +285,8 @@ def main():
         args.phase_level0 = args.mode == "train"
     if args.phase != "off" and (args.pair0 or args.fused):
         ap.error("--phase is a level-0 formulation of its own; it cannot "
-                 "combine with --pair0/--fused (QuantInference rejects the "
-                 "combination)")
+                 "combine with --pair0/--fused (ResearchQuantInference "
+                 "rejects the combination)")
 
     import jax
 
@@ -420,8 +446,17 @@ def main():
             qi = build_quant_inference(model, params, calib, impl=impl,
                                        min_channels=128, interpret=False,
                                        phase_level0=phase, int4=int4)
-            qi.pair_level0 = args.pair0
-            qi.fused_enc0 = qi.fused_concat = args.fused
+            if args.pair0 or args.fused:
+                # the measured-negative research formulations live in their
+                # quarantined subclass (quant_research.py): rebuild the
+                # engine there, reusing the calibrated QuantParams
+                from tpu_unet.infer.quant_research import (
+                    ResearchQuantInference)
+
+                qi = ResearchQuantInference(
+                    qi.qp, impl=impl, interpret=False,
+                    phase_level0=phase, pair_level0=args.pair0,
+                    fused_enc0=args.fused, fused_concat=args.fused)
             _qi_cache[key] = qi
         return _qi_cache[key].apply
 
@@ -439,12 +474,16 @@ def main():
         return f"{tout[0]}x{tout[1]}" if isinstance(tout, tuple) else str(tout)
 
     def measure_once():
-        best, best_mode = 0.0, "bf16"
+        """One full sweep. Returns (best, best_mode, bf16_ctrl, quant_best):
+        bf16_ctrl is the session's bf16 control measurement (0.0 if the arm
+        was skipped or failed), quant_best the best int8/int4 variant."""
+        best, best_mode, bf16_ctrl, quant_best = 0.0, "bf16", 0.0, 0.0
         for b, tout in ([] if args.skip_bf16 else bf16_candidates):
             got = False
             for attempt in (1, 2):
                 try:
                     tps = bench_batch(b, tout)
+                    bf16_ctrl = max(bf16_ctrl, tps)
                     if tps > best:
                         best, best_mode = tps, f"bf16-{b}x{fmt(tout)}"
                     got = True
@@ -469,9 +508,19 @@ def main():
             # silent one-armed comparison.
             done_variants = set()
             for b, tout in int8_candidates:
+                out_max = max(tout) if isinstance(tout, tuple) else tout
                 for impl in args.int8_impls.split(","):
                     for phv, i4 in phase_variants:
                         if fallbacks and (impl, phv, i4) in done_variants:
+                            continue
+                        if fallbacks and phv is None and out_max >= 1316:
+                            # plain int8 (no phase) cannot compile >=1316-out
+                            # tiles (results/r2/bench_tilesweep2.log) — the
+                            # 128-lane padding on the level-0 activations
+                            # blows the remote AOT compiler; phase packing is
+                            # what unlocked 1348. Skip straight to 1188 so an
+                            # --phase off/ab run doesn't burn two doomed
+                            # 30-60 s compile attempts per variant.
                             continue
                         # same 2-attempt retry as bf16: the remote compile
                         # helper 500s intermittently, and one transient
@@ -485,6 +534,7 @@ def main():
                                     b, tout,
                                     apply_fn=make_int8_apply(impl, phv, i4),
                                     label=f" {tag}")
+                                quant_best = max(quant_best, tps)
                                 if tps > best:
                                     best, best_mode = (tps,
                                                        f"{tag}-{b}x{fmt(tout)}")
@@ -497,7 +547,7 @@ def main():
                 if fallbacks and len(done_variants) == (
                         len(phase_variants) * len(args.int8_impls.split(","))):
                     break
-        return best, best_mode
+        return best, best_mode, bf16_ctrl, quant_best
 
     # Self-defense against degraded chip windows (the pooled chip varies up
     # to 25x between sessions, CLAUDE.md): the health gate is the WORKLOAD
@@ -511,24 +561,43 @@ def main():
              and not args.pair0 and not args.fused and args.width_mult == 1
              and args.int8_impls == "xla" and args.phase == "int8")
     healthy_ref = healthy_reference("infer")
-    attempts = []
+    ratio_ref = healthy_reference("infer", field="control_ratio")
+    attempts, ratios = [], []
     best, best_mode = 0.0, "bf16"
+    control_ratio = control_bf16 = None
     for _ in range(3 if gated else 1):
-        tps, mode = measure_once()
+        tps, mode, bf16_ctrl, quant_best = measure_once()
         attempts.append(tps)
+        ratio = (quant_best / bf16_ctrl
+                 if bf16_ctrl > 0 and quant_best > 0 else None)
+        ratios.append(ratio)
         if tps > best:
             best, best_mode = tps, mode
-        if not gated or tps >= HEALTHY_FRACTION * healthy_ref:
+            control_ratio, control_bf16 = ratio, bf16_ctrl or None
+        if not gated:
             break
-        log(f"measurement {tps:.1f} tiles/s < "
-            f"{HEALTHY_FRACTION:.0%} of healthy reference "
-            f"{healthy_ref}; degraded window suspected — pausing 90 s "
-            f"and re-running")
+        # Two-signal gate (VERDICT r3 item 3): the absolute number catches
+        # globally degraded windows; the int8 / same-session-bf16 ratio
+        # catches an int8-specific bad draw that the stable bf16 control
+        # would otherwise mask (the +-8% blind spot).
+        abs_ok = tps >= HEALTHY_FRACTION * healthy_ref
+        ratio_ok = ratio is None or ratio >= RATIO_FRACTION * ratio_ref
+        if abs_ok and ratio_ok:
+            break
+        log(f"measurement {tps:.1f} tiles/s (control ratio "
+            f"{'n/a' if ratio is None else f'{ratio:.3f}'}) below gate "
+            f"(abs >= {HEALTHY_FRACTION:.0%} of {healthy_ref}; ratio >= "
+            f"{RATIO_FRACTION:.0%} of {ratio_ref:.3f}); degraded window "
+            f"suspected — pausing 90 s and re-running")
         time.sleep(90)
     if not gated:
         window = "n/a (non-default config)"
     else:
-        window = ("healthy" if best >= HEALTHY_FRACTION * healthy_ref
+        abs_ok = best >= HEALTHY_FRACTION * healthy_ref
+        ratio_ok = (control_ratio is None
+                    or control_ratio >= RATIO_FRACTION * ratio_ref)
+        window = ("healthy" if abs_ok and ratio_ok
+                  else "degraded (control ratio)" if abs_ok
                   else "degraded")
 
     if best <= 0.0:
@@ -555,6 +624,11 @@ def main():
         "window": window,
         "attempts": [round(a, 1) for a in attempts],
         "healthy_reference": healthy_ref,
+        "control_bf16": (round(control_bf16, 2) if control_bf16 else None),
+        "control_ratio": (round(control_ratio, 4) if control_ratio else None),
+        "control_ratio_reference": round(ratio_ref, 4),
+        "control_ratio_attempts": [None if r is None else round(r, 3)
+                                   for r in ratios],
     }))
 
 

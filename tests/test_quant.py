@@ -135,12 +135,14 @@ def test_pair_level0_matches_unpaired(trained_tiny):
                               default_quant_names(model.cfg, 16))
     x = jnp.asarray(np.pad(imgs[:4], ((0, 0), (70, 70), (70, 70)),
                            mode="reflect"))[..., None]
-    y_p = QuantInference(qp, pair_level0=True).apply(x)
-    y_u = QuantInference(qp, pair_level0=False).apply(x)
+    from tpu_unet.infer.quant_research import ResearchQuantInference
+
+    y_p = ResearchQuantInference(qp, pair_level0=True).apply(x)
+    y_u = QuantInference(qp).apply(x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_u),
                                rtol=1e-4, atol=1e-4)
     # odd batch falls back to the unpaired path
-    y_odd = QuantInference(qp, pair_level0=True).apply(x[:3])
+    y_odd = ResearchQuantInference(qp, pair_level0=True).apply(x[:3])
     np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y_u)[:3],
                                rtol=1e-4, atol=1e-4)
 
@@ -284,8 +286,11 @@ def test_fused_level0_forward_matches_unfused(trained_tiny):
                               default_quant_names(model.cfg, 16))
     x = jnp.asarray(np.pad(imgs[:2], ((0, 0), (70, 70), (70, 70)),
                            mode="reflect"))[..., None]
+    from tpu_unet.infer.quant_research import ResearchQuantInference
+
     base = QuantInference(qp).apply(x)
-    fused = QuantInference(qp, fused_enc0=True, fused_concat=True).apply(x)
+    fused = ResearchQuantInference(qp, fused_enc0=True,
+                                   fused_concat=True).apply(x)
     assert fused.shape == base.shape
     pb = np.asarray(jnp.argmax(base, -1))
     pf = np.asarray(jnp.argmax(fused, -1))
@@ -451,8 +456,10 @@ def test_phase_level0_validation():
     qp = prepare_quant_params(cfg, params, scales, frozenset())
     with pytest.raises(ValueError):
         QuantInference(qp, phase_level0="int4")
+    from tpu_unet.infer.quant_research import ResearchQuantInference
+
     with pytest.raises(ValueError):
-        QuantInference(qp, phase_level0="bf16", pair_level0=True)
+        ResearchQuantInference(qp, phase_level0="bf16", pair_level0=True)
     with pytest.raises(ValueError):
         QuantInference(qp, phase_level0="int8")   # missing calibration scales
     pcfg = ModelConfig(base_width=8, skip_variant="parity")

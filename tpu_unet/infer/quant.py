@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from typing import Dict, FrozenSet, Optional, Tuple
 
 import jax
@@ -210,10 +209,6 @@ class QuantInference:
                  interpret: Optional[bool] = None,
                  layer_impl: Optional[Dict[str, str]] = None,
                  upconv_impl: str = "xla",
-                 pair_level0: bool = False,
-                 fused_enc0: bool = False,
-                 fused_concat: bool = False,
-                 fused_enc0_opts: Optional[Dict[str, object]] = None,
                  phase_level0: Optional[str] = None):
         if impl not in ("pallas", "xla"):
             raise ValueError(f"impl must be 'pallas' or 'xla', got {impl!r}")
@@ -221,15 +216,6 @@ class QuantInference:
             raise ValueError(
                 f"phase_level0 must be None, 'bf16' or 'int8', got "
                 f"{phase_level0!r}")
-        if phase_level0 and (pair_level0 or fused_enc0 or fused_concat):
-            raise ValueError("phase_level0 is a level-0 formulation of its "
-                             "own; combine it with none of pair_level0/"
-                             "fused_enc0/fused_concat")
-        if qp.q4names and (pair_level0 or fused_enc0 or fused_concat):
-            raise ValueError("the int4 serving path composes with the "
-                             "production formulations (phase_level0, plain "
-                             "int8) only; not with pair_level0/fused_enc0/"
-                             "fused_concat")
         if phase_level0 and qp.cfg.skip_variant != "paper":
             raise ValueError("phase_level0 requires the paper skip variant "
                              "(the parity skip is captured post-pool, "
@@ -242,26 +228,10 @@ class QuantInference:
         self.interpret = interpret
         self.layer_impl = dict(layer_impl or {})
         self.upconv_impl = upconv_impl
-        # Round-3 fused level-0 chain kernels (ops/fused_level0.py, VERDICT
-        # r2 item 2): `fused_enc0` runs enc0 conv1+conv2+pool0 (+ the paper-
-        # skip capture quantization) as ONE Pallas pass when those convs are
-        # float; `fused_concat` runs each quantized decoder concat +
-        # requantize as one VPU pass. Both exactness-tested vs the XLA
-        # composition (tests/test_fused_level0.py, tests/test_quant.py).
-        self.fused_enc0 = fused_enc0
-        self.fused_concat = fused_concat
-        # kernel tuning knobs for enc0_chain (block_rows/block_cols/
-        # pool_mode) — set from the hardware shootout's winner
-        self.fused_enc0_opts = dict(fused_enc0_opts or {})
-        # XLA pads <128-channel convs to the 128-lane tile (a 64->64 conv
-        # measures exactly the 128->128 cost, results/r2/shootout.txt), so
-        # level 0 can fold TWO batch images into the channel dim with
-        # block-diagonal kernels — half the padded conv FLOPs. Measured
-        # END-TO-END SLOWER as integrated (304 vs 351 tiles/s,
-        # results/r2/bench_run2.json): the pair/unpair channel interleaves
-        # cost more than the conv savings at serving shapes. Kept off by
-        # default as a documented, tested, measured-negative option.
-        self.pair_level0 = pair_level0
+        # The measured-negative level-0 formulations (pair_level0,
+        # fused_enc0/fused_concat) live in quant_research.py
+        # (ResearchQuantInference) — quarantined so this production forward
+        # reads as (phase | plain) x (int8 | int4).
         # Phase packing (ops/phase.py): run the level-0 neighborhood on the
         # 2x2 space-to-depth relabeling — 3x3 convs become 2x2 convs at 4x
         # the channels (full MXU lanes, and the int8-profitable cin>=128
@@ -599,31 +569,6 @@ class QuantInference:
         (scripts/tpu_stage_profile.py)."""
         cfg = self.qp.cfg
         qp = self.qp
-        bsz = x.shape[0]
-        pair0 = (self.pair_level0 and bsz % 2 == 0 and bsz > 1
-                 and "enc0_conv1" not in qp.qnames
-                 and "enc0_conv2" not in qp.qnames)
-
-        # Pair/unpair via the Pallas copy kernels (ops/interleave.py): XLA's
-        # channel-slice/batch-concat emitters measured 4-10x off bandwidth
-        # at these shapes (results/r2/shootout_pair0c.txt). The 1-channel
-        # input and 2-channel logits stay on jnp.concatenate (tiny tensors,
-        # lane-width-1 Pallas blocks would be worse).
-        from tpu_unet.ops.interleave import (
-            interleave_pairs, pair_batch_channels, unpair_batch_channels)
-
-        interp = self._interp()
-
-        def pair(t):     # [B, H, W, C] -> [B/2, H, W, 2C]: image i with i+B/2
-            if t.shape[-1] < 8:
-                return jnp.concatenate([t[:bsz // 2], t[bsz // 2:]], axis=-1)
-            return pair_batch_channels(t, interpret=interp)
-
-        def unpair(t):
-            c = t.shape[-1] // 2
-            if c < 8:
-                return jnp.concatenate([t[..., :c], t[..., c:]], axis=0)
-            return unpair_batch_channels(t, interpret=interp)
 
         def maxpool(t):
             return jax.lax.reduce_window(
@@ -654,12 +599,6 @@ class QuantInference:
 
         v, s = x.astype(jnp.bfloat16), None
         skips = []
-        paired_skip = None
-        fused_enc0 = (self.fused_enc0 and stop_after is None and not pair0
-                      and cfg.skip_variant == "paper"
-                      and cfg.in_channels == 1
-                      and "enc0_conv1" not in qp.qnames
-                      and "enc0_conv2" not in qp.qnames)
         for d in range(cfg.depth):
             if d == 0 and self._phase is not None:
                 from tpu_unet.ops.phase import (conv2x2_valid, phase_pool,
@@ -687,39 +626,6 @@ class QuantInference:
                     return v
                 skips.append((v, s))           # packed skip, own scale
                 v = phase_pool(v)              # exits the packed domain
-                if cut("pool0", v):
-                    return v
-                continue
-            if d == 0 and fused_enc0:
-                from tpu_unet.ops.fused_level0 import enc0_chain
-
-                k1, b1 = qp.fconv["enc0_conv1"]
-                k2, b2 = qp.fconv["enc0_conv2"]
-                key = "dec0_conv1:cat"
-                s_skip = (qp.scales[key] if "dec0_conv1" in qp.qnames
-                          and key in qp.scales else 0.0)
-                skip, v = enc0_chain(v, k1.astype(jnp.bfloat16), b1,
-                                     k2.astype(jnp.bfloat16), b2,
-                                     skip_scale=s_skip, interpret=interp,
-                                     **self.fused_enc0_opts)
-                skips.append((skip, s_skip if s_skip else None))
-                s = None
-                continue
-            if d == 0 and pair0:
-                vp = pair(v)
-                vp = self._conv_f("enc0_conv1", vp, paired=True)
-                if cut("enc0_conv1", vp):
-                    return vp
-                vp = self._conv_f("enc0_conv2", vp, paired=True)
-                if cut("enc0_conv2", vp):
-                    return vp
-                if cfg.skip_variant == "paper":
-                    paired_skip = vp
-                vp = maxpool(vp)
-                if cfg.skip_variant == "parity":
-                    paired_skip = vp
-                skips.append((None, None))  # dec0 reads paired_skip instead
-                v, s = unpair(vp), None
                 if cut("pool0", v):
                     return v
                 continue
@@ -763,38 +669,6 @@ class QuantInference:
                 return u
             sk, sk_s = skips[d]
             name = f"dec{d}_conv1"
-            if d == 0 and paired_skip is not None:
-                # Paired tail: pair the upconv output (cheap batch-half
-                # channel concat), interleave with the paired skip to the
-                # per-image [skip | up] layout, and run dec0 + head with
-                # block-diagonal kernels; unpair only the tiny logits.
-                skp = center_crop_or_pad(paired_skip, u.shape[1:3])
-                if name in qp.qnames:
-                    # quantize BEFORE interleaving: the big concat then
-                    # moves int8, half the bytes of a bf16 concat + quantize
-                    s_cat = qp.scales[name + ":cat"]
-                    cat_p = interleave_pairs(
-                        quantize_activations(skp, s_cat),
-                        pair(quantize_activations(u, s_cat)),
-                        interpret=interp)
-                    v, s = self._conv(name, cat_p, s_cat, paired=True)
-                else:
-                    cat_p = interleave_pairs(skp, pair(u), interpret=interp)
-                    v, s = self._conv(name, cat_p, None, paired=True)
-                if cut("dec0_conv1", v):
-                    return v
-                v, s = self._conv("dec0_conv2", v, s, paired=True)
-                if cut("dec0_conv2", v):
-                    return v
-                v = self._deq(v, s)
-                k, b = qp.fconv["head"]
-                y = jax.lax.conv_general_dilated(
-                    v, self._blockdiag(k), (1, 1), "VALID",
-                    dimension_numbers=jax.lax.conv_dimension_numbers(
-                        v.shape, self._blockdiag(k).shape,
-                        ("NHWC", "HWIO", "NHWC")),
-                    preferred_element_type=jnp.float32)
-                return unpair(y + jnp.concatenate([b, b]))
             if name in qp.q4names:
                 v, s = self._conv_i4_split(d, u, skips[d])
             elif name in qp.qnames:
@@ -816,13 +690,8 @@ class QuantInference:
                         jnp.round(sk.astype(jnp.float32) * ratio),
                         -127.0, 127.0).astype(jnp.int8)
                 sk_q = center_crop_or_pad(sk_q, u.shape[1:3])
-                if self.fused_concat:
-                    from tpu_unet.ops.fused_level0 import concat_quantize
-
-                    cat = concat_quantize(sk_q, u, s_cat, interpret=interp)
-                else:
-                    cat = jnp.concatenate(
-                        [sk_q, quantize_activations(u, s_cat)], axis=-1)
+                cat = jnp.concatenate(
+                    [sk_q, quantize_activations(u, s_cat)], axis=-1)
                 v, s = self._conv(name, cat, s_cat)
             else:
                 sk = center_crop_or_pad(self._deq(sk, sk_s), u.shape[1:3])

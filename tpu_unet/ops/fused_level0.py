@@ -17,7 +17,8 @@ fail remote compilation outright. Mosaic's generated code at these
 shallow-channel shapes loses more than the saved HBM roundtrips gain —
 the same emitter gap as the round-2 single-layer kernels. Level 0 ships on
 XLA; these kernels stay as the tested record of the fused-chain experiment
-(`QuantInference(fused_enc0=True, fused_concat=True)` exercises them
+(`ResearchQuantInference(fused_enc0=True, fused_concat=True)`
+(infer/quant_research.py) exercises them
 end-to-end, tests/test_quant.py::test_fused_level0_forward_matches_unfused).
 
 Formulation notes (results/r3/mosaic_probe.txt + mosaic_probe3.txt — what

@@ -1,6 +1,6 @@
 """Batch<->channel pairing as Pallas copy kernels.
 
-The level-0 pairing trick (infer/quant.py `pair_level0`) folds two batch
+The level-0 pairing trick (infer/quant_research.py `pair_level0`) folds two batch
 images into the channel dim so XLA's 128-lane padding of 64-channel convs
 does useful work. The catch, measured: XLA's strided channel-slice +
 batch-concat emitters run 4-10x off HBM bandwidth (unpair of [8,604²,128]
