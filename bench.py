@@ -40,18 +40,21 @@ HEALTHY_RATIO_FLOOR = 1.468
 RATIO_FRACTION = 0.92             # the documented +-8% int8-specific swing
 
 
-def healthy_reference(mode: str, field: str = "value") -> float:
+def healthy_reference(mode: str, field: str = "value",
+                      root: str = None) -> float:
     """Best healthy-window bench value on record for `mode` ('infer' |
     'train'): scans BENCH_r*.json (driver records) and results/*/ *.json
-    (session records) next to this file. A record counts if its unit matches
-    the mode and carries an explicit window=="healthy" (pre-round-3 records
-    without the field are covered by the floor constants). `field` selects
-    the tracked number: "value" (absolute) or "control_ratio" (int8 / bf16
-    same-session control, round-4 records onward)."""
+    (session records) under `root` (default: next to this file). A record
+    counts if its unit matches the mode and carries an explicit
+    window=="healthy" (pre-round-3 records without the field are covered by
+    the floor constants). `field` selects the tracked number: "value"
+    (absolute) or "control_ratio" (int8 / bf16 same-session control,
+    round-4 records onward)."""
     import glob
     import os
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     unit_prefix = "steps/sec" if mode == "train" else "tiles/sec"
     if field == "control_ratio":
         best = HEALTHY_RATIO_FLOOR
