@@ -20,6 +20,7 @@ from tpu_unet.config import (
     DatasetConfig,
     LossConfig,
     ModelConfig,
+    OptimConfig,
     TrainConfig,
 )
 from tpu_unet.data import synthetic_dataset
@@ -33,6 +34,13 @@ def main():
                     help="train with the phase-packed level-0 formulation "
                          "(the production default since the r3 A/B)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="batch size (2 = the reference constant; the r4 "
+                         "batch sweep measured the samples/s optimum at 8 — "
+                         "results/r4/train_batch_sweep.txt)")
+    ap.add_argument("--lr", type=float, default=1e-4,
+                    help="initial LR (scale with batch when departing from "
+                         "the reference's batch 2)")
     args = ap.parse_args()
     epochs = args.epochs
     out_dir = args.out or ("runs/synthetic_tpu_phase" if args.phase_level0
@@ -46,7 +54,8 @@ def main():
         ds,
         model_cfg=ModelConfig(compute_dtype="bfloat16",
                               phase_level0=args.phase_level0),
-        train_cfg=TrainConfig(batch_size=2, checkpoint_every=25),
+        train_cfg=TrainConfig(batch_size=args.batch, checkpoint_every=25,
+                              optim=OptimConfig(lr=args.lr)),
         aug_cfg=AugmentConfig(crop=196),
         loss_cfg=LossConfig(weight_mode="distance", max_objects=16),
         out_dir=out_dir,
