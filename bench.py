@@ -419,13 +419,15 @@ def main():
         # 16x1188 (results/r2/bench_tilesweep2.log: 364.5 tiles/s; 1028 gives
         # 353.6, 1604 333.2, 1316+ fails remote compilation). Phase-int8 (the
         # production level-0 formulation) removes the 128-lane padding on the
-        # level-0 activations, which lets 1348/1508-out compile — and 16x1348
-        # beat 16x1188 in BOTH same-session sweep orders (results/r3/
-        # bench_phase_tilesweep2.log: 388.5 vs 383.3; bench_phase_ab_rev.log
-        # reversed order: 398.1 vs 384.7, with 1508 slower and batch 24
-        # slower), so the int8 list leads 1348. bf16 cannot compile 1188+ at
-        # batch 16, so its list starts at 1028 (265). Later entries are
-        # compile-safe fallbacks — each mode stops at its first success.
+        # level-0 activations, which lets 1268/1348/1508-out compile — the r3
+        # sweeps put 1348 ahead of 1188 in both orders, and the r4 confirming
+        # A/B put 16x1268 ahead of 16x1348 in BOTH same-session orders
+        # (results/r4/tile_ab_order{A,B}.log: 397.8 vs 389.0, then reversed
+        # 402.3 vs 394.1 — +2.2%; the extent-rate decay already outweighs the
+        # halo saving past ~1268), so the int8 list leads 1268. bf16 cannot
+        # compile 1188+ at batch 16, so its list starts at 1028 (265). Later
+        # entries are compile-safe fallbacks — each mode stops at its first
+        # success.
         candidates = None  # per-mode lists below
 
     # int8 post-training-quantized serving path (infer/quant.py): measured
@@ -469,7 +471,8 @@ def main():
     fallbacks = not args.candidates
     if candidates is None:
         bf16_candidates = [(16, 1028), (8, 516)]
-        int8_candidates = [(16, 1348), (16, 1188), (16, 1028), (8, 516)]
+        int8_candidates = [(16, 1268), (16, 1348), (16, 1188), (16, 1028),
+                           (8, 516)]
     else:
         bf16_candidates = int8_candidates = candidates
 
@@ -516,14 +519,15 @@ def main():
                     for phv, i4 in phase_variants:
                         if fallbacks and (impl, phv, i4) in done_variants:
                             continue
-                        if fallbacks and phv is None and out_max >= 1316:
-                            # plain int8 (no phase) cannot compile >=1316-out
-                            # tiles (results/r2/bench_tilesweep2.log) — the
-                            # 128-lane padding on the level-0 activations
-                            # blows the remote AOT compiler; phase packing is
-                            # what unlocked 1348. Skip straight to 1188 so an
-                            # --phase off/ab run doesn't burn two doomed
-                            # 30-60 s compile attempts per variant.
+                        if fallbacks and phv is None and out_max > 1188:
+                            # plain int8 (no phase) cannot compile above
+                            # 1372-in = 1188-out (results/r2/
+                            # bench_tilesweep2.log) — the 128-lane padding on
+                            # the level-0 activations blows the remote AOT
+                            # compiler; phase packing is what unlocked
+                            # 1268/1348. Skip straight to 1188 so a --phase
+                            # off/ab run doesn't burn two doomed 30-60 s
+                            # compile attempts per variant.
                             continue
                         # same 2-attempt retry as bf16: the remote compile
                         # helper 500s intermittently, and one transient

@@ -100,7 +100,11 @@ def _load_data(args, ds_cfg):
         crop = ds_cfg.crop if args.dataset != "synthetic" else 196
         # fixture images must cover the crop window (HeLa/ISBI crop is 388)
         side = max(256, crop + 60)
-        train = synthetic_dataset(n_images=8, h=side, w=side, n_cells=5,
+        # n=10: with the reference's per-fold rotation by samp_val
+        # (main_main.py:239-240) an n=8/val 0.2 fixture makes fold 4's split
+        # identical to fold 0's (4*2 = 0 mod 8, witnessed bit-identical in
+        # results/r4/README.md); 10 gives five distinct 5-fold splits.
+        train = synthetic_dataset(n_images=10, h=side, w=side, n_cells=5,
                                   crop=crop, seed=args.seed)
         return train, train
     root = os.path.join(args.data_dir, f"{args.dataset}-training")
