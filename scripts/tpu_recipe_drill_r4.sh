@@ -8,9 +8,14 @@
 # the next claim ~7-10 min) lands mid-run once >=40 epochs are on disk; the
 # trainer's preemption path checkpoints and exits cleanly; the -sf relaunch
 # must resume from that epoch, not epoch 0.
+#
+# First execution lesson (results/r4/drill/): the 600 s wait ceiling raced a
+# slow TPU claim — SIGTERM landed during epoch 0's compile and the resume was
+# from epoch 0. The ceiling is now 30 min and the loop also exits if the
+# training process dies first.
 set -u
 cd /root/repo
-D=results/r4/drill
+D=${1:-results/r4/drill2}
 mkdir -p $D
 FOLD=$D/models/DIC-C2DH-HeLa/fold4
 
@@ -19,8 +24,9 @@ timeout 2400 python -m tpu_unet.cli -m TRAINING -d DIC-C2DH-HeLa --synthetic \
     -f 5 -sk 4 -s 0 --out-dir $D/models > $D/train_leg1.log 2>&1 &
 PID=$!
 echo $PID > /tmp/drill.pid
-# wait for >=40 epochs of progress (first compile is 60-120 s)
-for i in $(seq 1 120); do
+# wait for >=40 epochs of progress (claim + first compile can be 60-500 s)
+for i in $(seq 1 360); do
+  if ! kill -0 $PID 2>/dev/null; then echo "leg-1 process exited early"; break; fi
   n=$(wc -l < $FOLD/progress/loss.out 2>/dev/null || echo 0)
   if [ "$n" -ge 40 ]; then break; fi
   sleep 5

@@ -44,6 +44,28 @@ def test_training_folds_synthetic(tmp_path, monkeypatch):
     assert len(metrics) == 1 and np.isfinite(metrics[0]["loss"])
 
 
+def test_start_from_resumes_nonzero_epoch(tmp_path, monkeypatch, capsys):
+    """-sf must continue from the checkpointed epoch, not restart at 0
+    (reference -sf semantics, main_main.py:244-249 — broken as shipped
+    there; exercised on hardware in results/r4/drill2)."""
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "models")
+    base = ["-m", "TRAINING", "-d", "synthetic", "--base-width", "2",
+            "--platform", "cpu", "--quiet", "--out-dir", out]
+    assert main(base + ["--epochs", "1"]) == 0
+    prog = tmp_path / "models" / "synthetic" / "all" / "progress"
+    n0 = len(open(prog / "loss.out").readlines())
+    assert n0 == 2  # epochs 0..1
+    capsys.readouterr()
+    base_loud = [a for a in base if a != "--quiet"]
+    assert main(base_loud + ["--epochs", "3", "-sf"]) == 0
+    assert "Resumed from epoch 1" in capsys.readouterr().out
+    # curves continue across the resume: epochs 0..1 preloaded, 2..3 appended
+    assert len(open(prog / "loss.out").readlines()) == 4
+    metrics = [json.loads(l) for l in open(prog / "metrics.jsonl")]
+    assert [m["epoch"] for m in metrics] == [0, 1, 2, 3]
+
+
 def test_train_then_test_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     out = str(tmp_path / "models")

@@ -72,4 +72,10 @@ def test_sigterm_checkpoints_and_resume(tmp_path):
     hs = json.load(open(tmp_path / "run" / "models" / "latest" / "host_state.json"))
     resumed_epoch = hs["epoch"]
     hist = t.fit(data, data, epochs=resumed_epoch + 2, resume=True)
-    assert len(hist["loss"]) == 2  # exactly the two remaining epochs ran
+    # full curves: the preempted run's epochs 0..resumed_epoch preloaded from
+    # metrics.jsonl, plus exactly the two remaining epochs
+    assert len(hist["loss"]) == resumed_epoch + 3
+    prog = tmp_path / "run" / "progress"
+    assert len(np.loadtxt(prog / "loss.out", ndmin=1)) == resumed_epoch + 3
+    epochs_seen = [json.loads(l)["epoch"] for l in open(prog / "metrics.jsonl")]
+    assert epochs_seen == list(range(resumed_epoch + 3))  # contiguous, no restart

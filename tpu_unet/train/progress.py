@@ -26,11 +26,39 @@ FILES = {
 
 
 class ProgressWriter:
-    def __init__(self, fold_dir: str):
+    def __init__(self, fold_dir: str, resume_epochs: int = 0):
+        """`resume_epochs` > 0: preload epochs 0..resume_epochs-1 from the
+        on-disk ``metrics.jsonl`` so a resumed run (trainer ``resume=True``)
+        CONTINUES the curves instead of truncating them to the post-resume
+        epochs — the per-epoch rewrite below starts from in-memory history,
+        which would otherwise restart empty in the new process. Rows past
+        the restored checkpoint's epoch (a crash may land between the
+        progress append and the checkpoint) are dropped; the resumed
+        trajectory rewrites them."""
         self.progress_dir = os.path.join(fold_dir, "progress")
         os.makedirs(self.progress_dir, exist_ok=True)
         self.history: Dict[str, List[float]] = {k: [] for k in FILES}
         self._jsonl = os.path.join(self.progress_dir, "metrics.jsonl")
+        if resume_epochs > 0 and os.path.exists(self._jsonl):
+            records = []
+            with open(self._jsonl) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        [float(rec[k]) for k in FILES]
+                    except (ValueError, KeyError, TypeError):
+                        continue
+                    records.append(rec)
+            records = records[:resume_epochs]
+            for rec in records:
+                for k in self.history:
+                    self.history[k].append(float(rec[k]))
+            with open(self._jsonl, "w") as f:
+                for rec in records:
+                    f.write(json.dumps(rec) + "\n")
+            for key, fname in FILES.items():
+                np.savetxt(os.path.join(self.progress_dir, fname),
+                           np.asarray(self.history[key]))
 
     def append(self, **values: float) -> None:
         for key, val in values.items():

@@ -219,7 +219,6 @@ class Trainer:
         epochs = cfg.epochs if epochs is None else epochs
         bs = cfg.batch_size
         ckpt = Checkpointer(os.path.join(self.out_dir, "models"))
-        prog = ProgressWriter(self.out_dir)
 
         # Preemption handling (SURVEY.md §5.3 — absent in the reference):
         # SIGTERM/SIGINT set a flag; the loop checkpoints 'latest' at the next
@@ -268,6 +267,10 @@ class Trainer:
                 goal_epoch = host["epoch"]
             epoch0 = host["epoch"] + 1
             self._log(f"Resumed from epoch {host['epoch']}")
+
+        # Constructed after resume so a resumed run preloads the completed
+        # epochs' curves (epochs 0..epoch0-1) instead of truncating them.
+        prog = ProgressWriter(self.out_dir, resume_epochs=epoch0)
 
         perm_rng = np.random.RandomState(cfg.seed)
         n = len(train_data)
