@@ -39,6 +39,20 @@ HEALTHY_FRACTION = 0.8
 HEALTHY_RATIO_FLOOR = 1.468
 RATIO_FRACTION = 0.92             # the documented +-8% int8-specific swing
 
+# Plain int8 (no phase packing) cannot compile above 1372-in = 1188-out
+# (results/r2/bench_tilesweep2.log): the 128-lane padding on the level-0
+# activations blows the remote AOT compiler. Phase packing removes that
+# padding, which is what unlocked the 1268/1348 tiles (results/r3).
+PLAIN_INT8_MAX_OUT = 1188
+
+
+def doomed_candidate(phase_level0, out_max: int) -> bool:
+    """True when a serving candidate is known-uncompilable for the variant,
+    so the fallback descent skips it instead of burning two doomed 30-60 s
+    remote-compile attempts (ADVICE r3 item 1): plain int8 above
+    PLAIN_INT8_MAX_OUT."""
+    return phase_level0 is None and out_max > PLAIN_INT8_MAX_OUT
+
 
 def healthy_reference(mode: str, field: str = "value",
                       root: str = None) -> float:
@@ -519,15 +533,7 @@ def main():
                     for phv, i4 in phase_variants:
                         if fallbacks and (impl, phv, i4) in done_variants:
                             continue
-                        if fallbacks and phv is None and out_max > 1188:
-                            # plain int8 (no phase) cannot compile above
-                            # 1372-in = 1188-out (results/r2/
-                            # bench_tilesweep2.log) — the 128-lane padding on
-                            # the level-0 activations blows the remote AOT
-                            # compiler; phase packing is what unlocked
-                            # 1268/1348. Skip straight to 1188 so a --phase
-                            # off/ab run doesn't burn two doomed 30-60 s
-                            # compile attempts per variant.
+                        if fallbacks and doomed_candidate(phv, out_max):
                             continue
                         # same 2-attempt retry as bf16: the remote compile
                         # helper 500s intermittently, and one transient

@@ -77,3 +77,15 @@ def test_ratio_floor_matches_headline_arithmetic():
     # derivation so future edits to either are caught.
     assert abs(bench.HEALTHY_RATIO_FLOOR - 391.2 / 266.5) < 2e-3
     assert 0.9 <= bench.RATIO_FRACTION < 1.0
+
+
+def test_doomed_candidate_skips_plain_int8_above_1188():
+    # ADVICE r3 item 1: the fallback descent must not attempt plain-int8
+    # (phase_level0=None) candidates above the documented 1188-out compile
+    # ceiling; every phase variant may attempt any tile.
+    assert bench.doomed_candidate(None, 1268)
+    assert bench.doomed_candidate(None, 1348)
+    assert not bench.doomed_candidate(None, 1188)
+    assert not bench.doomed_candidate(None, 516)
+    for phv in ("bf16", "int8"):
+        assert not bench.doomed_candidate(phv, 1348)

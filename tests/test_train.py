@@ -156,11 +156,16 @@ def test_fit_resume(tmp_path):
         verbose=False,
     )
     t1 = Trainer(ds, **kwargs)
-    t1.fit(data, data, epochs=1)
-    # Resume continues from epoch 2 without error and extends history.
+    hist1 = t1.fit(data, data, epochs=1)
+    # Resume continues from epoch 2 and the writer preloads epochs 0..1 from
+    # metrics.jsonl (the r4 preemption fix: progress curves must span the
+    # whole run, not restart at the resume point — results/r4/README.md §6),
+    # so the returned history is the FULL 0..3 curve with the pre-resume
+    # prefix intact.
     t2 = Trainer(ds, **kwargs)
     hist = t2.fit(data, data, epochs=3, resume=True)
-    assert len(hist["loss"]) == 2  # epochs 2..3 in the new writer
+    assert len(hist["loss"]) == 4  # epochs 0..3, contiguous across resume
+    assert hist["loss"][:2] == pytest.approx(hist1["loss"], rel=1e-6)
 
 
 def test_fit_stops_on_goal(tmp_path):
