@@ -1,20 +1,34 @@
 """Headline benchmark: overlap-tile inference throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints JSON lines on stdout; the LAST line is the result:
   {"metric": "...", "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
 
+Un-nullable under driver timeouts (VERDICT r4 item 1 — BENCH_r04 was
+rc=124/parsed:null because one slow session claim ate the budget before the
+single terminal JSON line could print):
+  (a) after EVERY completed measurement a best-so-far line with the same
+      schema and ``"provisional": true`` is printed, so the last stdout JSON
+      line is parseable even under SIGKILL-at-timeout;
+  (b) the gated HEADLINE variant (phase-packed int8) runs FIRST and the bf16
+      control second — ``control_ratio`` stays null until the control lands;
+  (c) ``--deadline`` (default 1440 s ≈ 80% of the driver's observed ~30 min
+      budget) prunes fallbacks / retries / gate-rerun pauses once spent. It
+      never prunes the first measurement of an empty sweep.
+
 Workload (BASELINE.json config 4 / north star): 512x512 output tiles through
-the full-width U-Net in bf16 via the overlap-tile path — each forward consumes
-a mirrored 700x700 input tile and yields the 516x516 valid output covering a
-512x512 image tile (core.geometry: 700 -> 516). Baseline target: 1000
-tiles/sec/chip on v5e (no reference counterpart exists; the reference's
-whole-image GPU path publishes no throughput, SURVEY.md §6).
+the full-width U-Net via the overlap-tile path — each forward consumes a
+mirrored (out+184)² input tile and yields the valid output covering out²
+512x512-tile units (core.geometry). Baseline target: 1000 tiles/sec/chip on
+v5e (no reference counterpart exists; the reference's whole-image GPU path
+publishes no throughput, SURVEY.md §6).
 """
 
 import argparse
 import json
 import sys
 import time
+
+_PROC_START = time.monotonic()
 
 
 def log(*a):
@@ -26,16 +40,23 @@ def log(*a):
 # (healthy_reference() below), so the gate tracks the serving path as it
 # improves instead of going stale.
 HEALTHY_TILES_S_FLOOR = 364.5     # results/r2: int8-xla 16x1188
-HEALTHY_STEPS_S_FLOOR = 13.3      # round-1 healthy train window
+HEALTHY_STEPS_S_FLOOR = 13.3      # batch 2: round-1 healthy train window
+# Per-batch train floors: only these batches gate (batch 2 = the reference
+# constant, main_main.py:136; batch 8 = the measured +57% samples/s
+# recommendation, 67.8 samples/s / 8 = 8.475 steps/s,
+# results/r4/train_batch_sweep.txt — VERDICT r4 item 5). Records are keyed
+# per batch via the unit string, so batch-2 and batch-8 references never mix.
+HEALTHY_TRAIN_FLOORS = {2: HEALTHY_STEPS_S_FLOOR, 8: 8.475}
 HEALTHY_FRACTION = 0.8
 # Control-normalized gate (VERDICT r3 item 3): the bf16 arm is session-stable
-# (265.4-267.8 across every record) while int8 windows swing +-8%
-# independently, so the int8/bf16 same-session ratio separates "this chip
-# window is globally degraded" (ratio normal, abs low -> bf16 low too) from
-# "the int8 arm specifically drew a bad window" (ratio low, bf16 normal).
-# Floor = best gated record on the current default workload / the bf16 range
-# midpoint: 391.2 / 266.5 = 1.468. Future records carry control_ratio in
-# their JSON and healthy_reference() tracks the max.
+# (265.4-267.8 across every record — r4's apparent 296.1 outlier reconciled
+# as a stale-roundtrip over-subtraction, results/r5/roundtrip_reconcile.md)
+# while int8 windows swing +-8% independently, so the int8/bf16 same-session
+# ratio separates "this chip window is globally degraded" (ratio normal, abs
+# low -> bf16 low too) from "the int8 arm specifically drew a bad window"
+# (ratio low, bf16 normal). Floor = best gated record on the current default
+# workload / the bf16 range midpoint: 391.2 / 266.5 = 1.468. Future records
+# carry control_ratio in their JSON and healthy_reference() tracks the max.
 HEALTHY_RATIO_FLOOR = 1.468
 RATIO_FRACTION = 0.92             # the documented +-8% int8-specific swing
 
@@ -44,6 +65,60 @@ RATIO_FRACTION = 0.92             # the documented +-8% int8-specific swing
 # activations blows the remote AOT compiler. Phase packing removes that
 # padding, which is what unlocked the 1268/1348 tiles (results/r3).
 PLAIN_INT8_MAX_OUT = 1188
+
+# Wall-clock budget (VERDICT r4 item 1c). The r4 driver killed bench.py
+# ~28.6 min in (BENCH_r04.json tail), so the budget is ~30 min; default
+# deadline = 80% of it. Cost estimates used by the pruning checks:
+DEADLINE_DEFAULT = 1440.0
+MEASURE_EST_S = 120.0    # one more candidate: warm-process compile + 3 runs
+GATE_RERUN_EST_S = 420.0  # 90 s pause + headline re-measure + control
+
+
+class Deadline:
+    """Wall-clock budget awareness. `ok(need)` answers "do `need` more
+    seconds fit?"; pruning callers pass their cost estimate. seconds <= 0
+    disables the deadline. The clock is injectable for tests."""
+
+    def __init__(self, seconds, start=None, clock=time.monotonic):
+        self.clock = clock
+        self.start = self.clock() if start is None else start
+        self.seconds = float("inf") if seconds <= 0 else float(seconds)
+
+    def elapsed(self) -> float:
+        return self.clock() - self.start
+
+    def remaining(self) -> float:
+        return self.seconds - self.elapsed()
+
+    def ok(self, need: float = 0.0) -> bool:
+        return self.remaining() > need
+
+
+class Emitter:
+    """Best-so-far JSON emission (VERDICT r4 item 1a). Holds one result
+    record; `provisional()` prints it with ``"provisional": true`` after
+    every completed measurement, `final()` prints the authoritative line.
+    The r4 failure mode — dying mid-sweep holding an already-measured number
+    that reached no artifact — cannot recur: every measurement is followed
+    by a parseable stdout line."""
+
+    def __init__(self, **base):
+        self.state = dict(base)
+        self.emitted = []                      # every printed line, for tests
+
+    def update(self, **fields):
+        self.state.update(fields)
+
+    def _print(self, record):
+        line = json.dumps(record)
+        self.emitted.append(line)
+        print(line, flush=True)
+
+    def provisional(self):
+        self._print({**self.state, "provisional": True})
+
+    def final(self):
+        self._print(dict(self.state))
 
 
 def doomed_candidate(phase_level0, out_max: int) -> bool:
@@ -55,26 +130,34 @@ def doomed_candidate(phase_level0, out_max: int) -> bool:
 
 
 def healthy_reference(mode: str, field: str = "value",
-                      root: str = None) -> float:
+                      root: str = None, train_batch: int = 2) -> float:
     """Best healthy-window bench value on record for `mode` ('infer' |
     'train'): scans BENCH_r*.json (driver records) and results/*/ *.json
     (session records) under `root` (default: next to this file). A record
     counts if its unit matches the mode and carries an explicit
     window=="healthy" (pre-round-3 records without the field are covered by
-    the floor constants). `field` selects the tracked number: "value"
+    the floor constants; provisional/pending records never carry "healthy"
+    until their gate passed, so a killed run's last provisional line cannot
+    inflate the reference). `field` selects the tracked number: "value"
     (absolute) or "control_ratio" (int8 / bf16 same-session control,
-    round-4 records onward)."""
+    round-4 records onward). Train records are keyed per batch
+    (`train_batch`) via the unit string — every train record since r2 spells
+    "steps/sec/chip (batch N, ...)"."""
     import glob
     import os
 
     if root is None:
         root = os.path.dirname(os.path.abspath(__file__))
-    unit_prefix = "steps/sec" if mode == "train" else "tiles/sec"
+    if mode == "train":
+        unit_prefix = f"steps/sec/chip (batch {train_batch},"
+    else:
+        unit_prefix = "tiles/sec"
     if field == "control_ratio":
         best = HEALTHY_RATIO_FLOOR
+    elif mode == "train":
+        best = HEALTHY_TRAIN_FLOORS.get(train_batch, 0.0)
     else:
-        best = (HEALTHY_STEPS_S_FLOOR if mode == "train"
-                else HEALTHY_TILES_S_FLOOR)
+        best = HEALTHY_TILES_S_FLOOR
 
     def consider(rec):
         nonlocal best
@@ -129,10 +212,130 @@ def unet_forward_flops(tile_in: int, width_mult: int = 1,
     return flops
 
 
-def bench_train(args, model, cfg):
+def fmt(tout):
+    return f"{tout[0]}x{tout[1]}" if isinstance(tout, tuple) else str(tout)
+
+
+def phase_variant_list(phase: str):
+    """(phase_level0, int4) variant list per --phase mode; the int4 arms ride
+    phase-int8 level 0 (the production level-0 formulation) + w4a4 mid-depth.
+    In the A/B modes the headline variant (phase-int8) is listed FIRST so it
+    is the arm standing if a deadline prunes the comparison arm
+    (headline-first ordering, VERDICT r4 item 1b)."""
+    return {"off": [(None, False)], "bf16": [("bf16", False)],
+            "int8": [("int8", False)],
+            "ab": [("int8", False), (None, False)],
+            "int4": [("int8", True)],
+            "ab4": [("int8", False), ("int8", True)],
+            }[phase]
+
+
+def run_sweep(args, bf16_candidates, int8_candidates, bench_fn, make_apply_fn,
+              emitter, deadline, fallbacks):
+    """One full sweep — HEADLINE (quantized serving) arm FIRST, bf16 control
+    second (VERDICT r4 item 1b: r4's driver kill landed after the control
+    leg but before the headline workload ever ran; the headline is the
+    number that counts, so it is the first thing measured and the control
+    only refines the gate afterwards).
+
+    `bench_fn(b, tout, apply_fn=None, label="") -> (tiles_s, roundtrip_s)`
+    is injected so tests can drive the ordering/pruning logic without jax.
+
+    Returns (best, best_mode, bf16_ctrl, quant_best, best_rt); emits a
+    provisional best-so-far line after every completed measurement."""
+    best, best_mode, best_rt = 0.0, None, None
+    bf16_ctrl, quant_best = 0.0, 0.0
+
+    def took(tps, mode_tag, rt):
+        nonlocal best, best_mode, best_rt
+        if tps > best:
+            best, best_mode, best_rt = tps, mode_tag, rt
+        emitter.update(value=round(best, 2), mode=best_mode,
+                       vs_baseline=round(best / 1000.0, 4),
+                       roundtrip_ms=(None if best_rt is None
+                                     else round(best_rt * 1e3, 1)))
+        emitter.provisional()
+
+    # --- headline arm: quantized serving variants --------------------------
+    if args.dtype == "bfloat16" and not args.no_int8:
+        phase_variants = phase_variant_list(args.phase)
+        impls = args.int8_impls.split(",")
+        # Per-VARIANT fallback: each phase arm keeps descending the candidate
+        # list until it succeeds — one arm's success must not suppress the
+        # other's fallback, or an 'ab' run degrades into a silent one-armed
+        # comparison.
+        done_variants = set()
+        for b, tout in int8_candidates:
+            out_max = max(tout) if isinstance(tout, tuple) else tout
+            for impl in impls:
+                for phv, i4 in phase_variants:
+                    if fallbacks and (impl, phv, i4) in done_variants:
+                        continue
+                    if fallbacks and doomed_candidate(phv, out_max):
+                        continue
+                    bits = "int4" if i4 else "int8"
+                    tag = (f"{bits}-{impl}" if phv is None
+                           else f"{bits}-{impl}+phase:{phv}")
+                    # same 2-attempt retry as bf16: the remote compile helper
+                    # 500s intermittently, and one transient failure must not
+                    # silently drop the headline mode
+                    for attempt in (1, 2):
+                        # the deadline never prunes the first measurement of
+                        # an empty sweep — something beats nothing
+                        if quant_best > 0 and not deadline.ok(MEASURE_EST_S):
+                            log(f"  deadline ({deadline.remaining():.0f}s "
+                                f"left): skipping {tag} {b}x{fmt(tout)}")
+                            break
+                        try:
+                            tps, rt = bench_fn(
+                                b, tout, apply_fn=make_apply_fn(impl, phv, i4),
+                                label=f" {tag}")
+                            quant_best = max(quant_best, tps)
+                            took(tps, f"{tag}-{b}x{fmt(tout)}", rt)
+                            done_variants.add((impl, phv, i4))
+                            break
+                        except Exception as e:
+                            log(f"  {bits} {impl} {b}x{fmt(tout)} phase={phv} "
+                                f"attempt {attempt} failed: "
+                                f"{type(e).__name__}: {str(e)[:200]}")
+            if fallbacks and len(done_variants) == (len(phase_variants)
+                                                    * len(impls)):
+                break
+            if (fallbacks and quant_best > 0
+                    and not deadline.ok(MEASURE_EST_S)):
+                break
+
+    # --- control arm: bf16 -------------------------------------------------
+    for b, tout in ([] if args.skip_bf16 else bf16_candidates):
+        if quant_best > 0 and not deadline.ok(MEASURE_EST_S):
+            log(f"deadline ({deadline.remaining():.0f}s left): skipping the "
+                "bf16 control arm (control_ratio stays null)")
+            break
+        got = False
+        for attempt in (1, 2):
+            try:
+                tps, rt = bench_fn(b, tout)
+                bf16_ctrl = max(bf16_ctrl, tps)
+                emitter.update(control_bf16=round(bf16_ctrl, 2))
+                took(tps, f"bf16-{b}x{fmt(tout)}", rt)
+                got = True
+                break
+            except Exception as e:  # flaky remote-compile / OOM: retry
+                log(f"  out={fmt(tout)} batch={b} attempt {attempt} failed: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+                if quant_best > 0 and not deadline.ok(MEASURE_EST_S):
+                    break
+        if got and fallbacks:
+            break
+    return best, best_mode, bf16_ctrl, quant_best, best_rt
+
+
+def bench_train(args, model, cfg, deadline):
     """Fused train-step throughput: augmentation + distance weight maps +
-    weighted BCE + backward + SGD, HeLa-like shapes (batch 2, 572-in/388-out,
-    BASELINE config 3)."""
+    weighted BCE + backward + SGD, HeLa-like shapes (572-in/388-out,
+    BASELINE config 3). Gated workloads: batch 2 (the reference constant,
+    main_main.py:136) and batch 8 (the measured samples/s optimum, VERDICT
+    r4 item 5); each gates against its own per-batch healthy record."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -143,9 +346,12 @@ def bench_train(args, model, cfg):
     from tpu_unet.losses.weights import make_weight_fn
     from tpu_unet.train.optimizer import make_optimizer
     from tpu_unet.train.trainer import TrainState, make_train_step
+    from tpu_unet.utils.profiling import measure_roundtrip
 
     log("establishing TPU session ...")
     float(jnp.zeros(()).sum())
+    rt0 = measure_roundtrip()
+    log(f"tunnel roundtrip {rt0*1e3:.1f} ms")
     log("building data + model ...")
     data = synthetic_dataset(n_images=4, h=512, w=512, n_cells=8, crop=388,
                              seed=0)
@@ -168,13 +374,14 @@ def bench_train(args, model, cfg):
     # the tunnel backend (measured 69-75 ms/step vs 22.7 ms device time,
     # results/r3/bench_train_r3a.log, r3c.log) and measures the transport,
     # not the chip.
-    # batch 2 is the reference constant (main_main.py:136), not a TPU
-    # optimum — --train-batch measures the samples/s envelope at other
-    # batches (VERDICT r3 item 4); only batch 2 is gated.
     batch = args.train_batch
     indices = jnp.asarray(np.arange(batch) % data.images.shape[0], jnp.int32)
     key0 = jax.random.PRNGKey(1)
-    n = args.iters
+    # Scan length sized so the roundtrip subtraction stays under ~3% of the
+    # timed wall even on a degraded tunnel (VERDICT r4 weak 2): assume an
+    # optimistic 40 ms/step; cap to bound per-measurement wall at ~3 s.
+    n = min(64, max(args.iters, int(np.ceil(rt0 / 0.03 / 0.040))))
+    log(f"scan length {n} steps/epoch (roundtrip-fraction sizing)")
 
     @jax.jit
     def run_n(state, keys):
@@ -192,52 +399,64 @@ def bench_train(args, model, cfg):
     float(losses[-1])
     log(f"compile+first epoch {time.perf_counter() - t0:.1f}s")
 
-    from tpu_unet.utils.profiling import measure_roundtrip
-    rt = measure_roundtrip()
-    log(f"tunnel roundtrip {rt*1e3:.1f} ms (subtracted from epoch timing)")
-
-    def measure_once(state):
+    def measure_once(state, rt_before):
         t0 = time.perf_counter()
         state, losses = run_n(state, keys)
         float(losses[-1])
-        dt = max(time.perf_counter() - t0 - rt, 1e-9) / n
+        wall = time.perf_counter() - t0
+        # min-of-before/after roundtrip: a degraded-tunnel ping estimate
+        # must not over-correct the subtraction (the r4 296.1 lesson,
+        # results/r5/roundtrip_reconcile.md)
+        rt_after = measure_roundtrip()
+        rt = min(rt_before, rt_after)
+        dt = max(wall - rt, 1e-9) / n
         sps = 1.0 / dt
         log(f"train step: {dt*1e3:.1f} ms -> {sps:.2f} steps/s "
-            f"({sps * batch:.2f} samples/s, batch {batch})")
-        return sps, state
+            f"({sps * batch:.2f} samples/s, batch {batch}; "
+            f"roundtrip {rt*1e3:.1f} ms = {rt/wall:.1%} of wall)")
+        return sps, state, rt
 
     # Same degraded-window self-defense as infer mode (the pooled chip varies
     # up to 25x between sessions): re-measure after a pause when below the
     # healthy fraction, report every attempt. Gate only on the default
-    # workload (non-default width/dtype measures something else).
-    ref = healthy_reference("train")
-    gated = (args.width_mult == 1 and args.dtype == "bfloat16"
-             and args.phase_level0 and batch == 2)
-    attempts, best = [], 0.0
-    for _ in range(3 if gated else 1):
-        sps, state = measure_once(state)
+    # step config at the two gated batches (non-default width/dtype measures
+    # something else).
+    gated = (args.width_mult == 1 and args.base_width == 64
+             and args.dtype == "bfloat16"
+             and args.phase_level0 and batch in HEALTHY_TRAIN_FLOORS)
+    ref = healthy_reference("train", train_batch=batch)
+    emitter = Emitter(
+        metric=("fused train step (HeLa config: augment+EDT weights+bwd+SGD)"
+                + ("; phase-packed level 0" if args.phase_level0 else "")),
+        value=None,
+        unit=f"steps/sec/chip (batch {batch}, 572-in)",
+        vs_baseline=None, window="pending", samples_per_sec=None,
+        attempts=[], healthy_reference=ref, roundtrip_ms=None)
+    attempts, best, rt = [], 0.0, rt0
+    for i in range(3):
+        sps, state, rt_used = measure_once(state, rt)
+        rt = rt_used
         attempts.append(sps)
         best = max(best, sps)
-        if not gated or sps >= HEALTHY_FRACTION * ref:
+        healthy = best >= HEALTHY_FRACTION * ref
+        emitter.update(value=round(best, 3),
+                       samples_per_sec=round(best * batch, 2),
+                       attempts=[round(a, 2) for a in attempts],
+                       roundtrip_ms=round(rt_used * 1e3, 1),
+                       window=("n/a (non-default config)" if not gated
+                               else "healthy" if healthy else "degraded"))
+        emitter.provisional()
+        if not gated or healthy:
+            break
+        if not deadline.ok(GATE_RERUN_EST_S):
+            log(f"deadline ({deadline.remaining():.0f}s left): skipping the "
+                "gate re-run pause; reporting the degraded window")
             break
         log(f"train measurement {sps:.2f} steps/s < "
             f"{HEALTHY_FRACTION:.0%} of healthy reference {ref}; degraded "
             f"window suspected — pausing 90 s and re-running")
         time.sleep(90)
-    window = ("n/a (non-default config)" if not gated
-              else "healthy" if best >= HEALTHY_FRACTION * ref
-              else "degraded")
-    print(json.dumps({
-        "metric": ("fused train step (HeLa config: augment+EDT weights+bwd+SGD)"
-                   + ("; phase-packed level 0" if args.phase_level0 else "")),
-        "value": round(best, 3),
-        "unit": f"steps/sec/chip (batch {batch}, 572-in)",
-        "vs_baseline": None,
-        "window": window,
-        "samples_per_sec": round(best * batch, 2),
-        "attempts": [round(a, 2) for a in attempts],
-        "healthy_reference": ref,
-    }))
+    emitter.final()
 
 
 def main():
@@ -250,14 +469,26 @@ def main():
     ap.add_argument("--mode", default="infer", choices=["infer", "train"],
                     help="train: fused train-step throughput (HeLa-like config)")
     ap.add_argument("--train-batch", type=int, default=2,
-                    help="--mode train batch size (2 = the reference "
-                         "constant, main_main.py:136, and the only gated "
-                         "config; other values measure the samples/s "
-                         "envelope, VERDICT r3 item 4)")
+                    help="--mode train batch size. 2 = the reference "
+                         "constant (main_main.py:136); 8 = the measured "
+                         "samples/s optimum (+57%%, results/r4/"
+                         "train_batch_sweep.txt). Both gate against their "
+                         "own per-batch healthy record; other values "
+                         "measure the envelope ungated")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--width-mult", type=int, default=1)
+    ap.add_argument("--base-width", type=int, default=64,
+                    help="debug-only model shrink for --cpu smoke runs; any "
+                         "non-64 value is a different workload (gate off)")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--deadline", type=float, default=DEADLINE_DEFAULT,
+                    help="wall-clock budget in seconds measured from process "
+                         "start (default 1440 ≈ 80%% of the driver's ~30 min "
+                         "kill budget); once spent, remaining fallbacks / "
+                         "retries / control arm / gate-rerun pauses are "
+                         "skipped and the best-so-far number is finalized. "
+                         "<= 0 disables")
     ap.add_argument("--no-int8", action="store_true",
                     help="skip the int8-quantized serving candidate")
     ap.add_argument("--skip-bf16", action="store_true",
@@ -276,7 +507,7 @@ def main():
                          "phase-packed (space-to-depth) formulation "
                          "(ops/phase.py): 2x2 convs at 4x channels, pool as "
                          "channel max, up0 as matmul, concat eliminated; "
-                         "'ab' measures plain int8 AND phase int8 in ONE "
+                         "'ab' measures phase int8 AND plain int8 in ONE "
                          "session (same chip window — the only valid "
                          "formulation comparison, results/r3 lesson). "
                          "Default 'int8' since the hardware A/B: 406.7 vs "
@@ -305,6 +536,8 @@ def main():
                  "combine with --pair0/--fused (ResearchQuantInference "
                  "rejects the combination)")
 
+    deadline = Deadline(args.deadline, start=_PROC_START)
+
     import jax
 
     if args.cpu:
@@ -319,12 +552,13 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    cfg = ModelConfig(width_mult=args.width_mult, compute_dtype=args.dtype,
+    cfg = ModelConfig(width_mult=args.width_mult, base_width=args.base_width,
+                      compute_dtype=args.dtype,
                       phase_level0=args.phase_level0)
     model = UNet(cfg)
 
     if args.mode == "train":
-        return bench_train(args, model, cfg)
+        return bench_train(args, model, cfg, deadline)
 
     rng = jax.random.PRNGKey(0)
     log("establishing TPU session ...")
@@ -334,15 +568,26 @@ def main():
     log("initializing params (on small shape) ...")
     params = model.init(rng, jnp.zeros((1, 188, 188, 1), jnp.float32))
     jax.tree.map(lambda a: a.block_until_ready(), params)
-    log("params ready")
+    log(f"params ready (deadline: {deadline.remaining():.0f}s left)")
 
     # Timing note: on remote-tunnel PJRT backends `block_until_ready` can be
     # a no-op (execution is fully async until a readback). We therefore run
-    # `iters` forwards *inside one jitted scan* and force a 4-byte scalar
-    # readback; tiles/sec = iters*batch / (wall - readback_roundtrip).
+    # the forwards *inside one jitted scan* and force a 4-byte scalar
+    # readback; tiles/sec = n_eff*batch / (wall - readback_roundtrip).
     # Pre-cast params once: flax would cast f32->bf16 inside every forward.
     if args.dtype == "bfloat16":
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def ping_roundtrip(n=5):
+        @jax.jit
+        def noop(x):
+            return x + 1
+
+        float(noop(jnp.int32(0)))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            float(noop(jnp.int32(0)))
+        return (time.perf_counter() - t0) / n
 
     def bench_batch(b, tile_out, apply_fn=None, label=""):
         # Larger output tiles amortize the 184-px receptive-field context:
@@ -360,59 +605,72 @@ def main():
         if apply_fn is None:
             apply_fn = lambda tiles: model.apply(params, tiles)
 
-        def chunk_fwd(carry, tiles):
-            logits = apply_fn(tiles)
-            preds = jnp.argmax(logits, axis=-1)
-            return carry + jnp.sum(preds, dtype=jnp.int32), None
-
-        @jax.jit
-        def run(all_tiles):
-            total, _ = jax.lax.scan(chunk_fwd, jnp.int32(0), all_tiles)
-            return total
-
-        @jax.jit
-        def noop(x):
-            return x + 1
-
-        # measure the tunnel roundtrip to subtract
-        float(noop(jnp.int32(0)))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            float(noop(jnp.int32(0)))
-        roundtrip = (time.perf_counter() - t0) / 5
+        # Roundtrip handling (VERDICT r4 weak 2 — the 296.1 bf16 "outlier"
+        # was a 177.6 ms degraded-window ping estimate, 13.6% of wall,
+        # over-correcting an in-band measurement): (1) measure BEFORE and
+        # AFTER the timed runs and subtract the MIN; (2) size the scan so
+        # the roundtrip stays < ~3% of wall even at the degraded estimate.
+        rt_before = ping_roundtrip()
 
         # Cap the resident tile buffer at ~600 MB: the remote AOT compiler
         # rejects the 16x1212^2 scan at 10 iters (940 MB buffer) but accepts
-        # 6 iters (564 MB) — cap conservatively and let more repeats make up
-        # the measurement time.
-        iters = max(3, min(args.iters,
-                           int(6e8 / (b * tile_in * tile_in_w * 4))))
+        # 6 iters (564 MB). The scan LENGTH is decoupled from the buffer via
+        # modular indexing (dynamic_index_in_dim), so roundtrip-fraction
+        # sizing never grows the buffer.
+        distinct = max(3, min(args.iters,
+                              int(6e8 / (b * tile_in * tile_in_w * 4))))
+        n_eff = max(args.iters, distinct,
+                    int(np.ceil(rt_before / 0.03
+                                / (b * tiles_per_fwd * 0.002))))
+        n_eff = min(n_eff, 48)
+        idxs = jnp.arange(n_eff, dtype=jnp.int32) % distinct
+
+        @jax.jit
+        def run(all_tiles, idxs):
+            def body(carry, i):
+                t = jax.lax.dynamic_index_in_dim(all_tiles, i, axis=0,
+                                                 keepdims=False)
+                logits = apply_fn(t)
+                preds = jnp.argmax(logits, axis=-1)
+                return carry + jnp.sum(preds, dtype=jnp.int32), None
+
+            total, _ = jax.lax.scan(body, jnp.int32(0), idxs)
+            return total
+
         name = (f"out={h_out}" if h_out == w_out else f"out={h_out}x{w_out}")
-        log(f"  {name} batch={b}{label}: generating tiles ({iters} iters) ...")
+        log(f"  {name} batch={b}{label}: generating tiles "
+            f"({distinct} resident, scan-{n_eff}) ...")
         tiles = jax.random.uniform(
-            jax.random.PRNGKey(1), (iters, b, tile_in, tile_in_w, 1),
+            jax.random.PRNGKey(1), (distinct, b, tile_in, tile_in_w, 1),
             jnp.float32)
         float(jnp.sum(tiles[0, 0, 0, 0]))  # sync generation
-        log(f"  {name} batch={b}{label}: compiling scan-{iters} ...")
+        log(f"  {name} batch={b}{label}: compiling scan-{n_eff} ...")
         t0 = time.perf_counter()
-        float(run(tiles))
+        float(run(tiles, idxs))
         log(f"  {name} batch={b}{label}: compile+first run "
             f"{time.perf_counter() - t0:.1f}s")
-        times = []
+        walls = []
         for _ in range(max(1, args.warmup)):
-            float(run(tiles))
+            float(run(tiles, idxs))
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(tiles))
-            times.append(time.perf_counter() - t0 - roundtrip)
-        dt = float(np.median(times))
-        tps = iters * b * tiles_per_fwd / dt
+            float(run(tiles, idxs))
+            walls.append(time.perf_counter() - t0)
+        rt_after = ping_roundtrip()
+        rt = min(rt_before, rt_after)
+        dt = max(float(np.median(walls)) - rt, 1e-9)
+        tps = n_eff * b * tiles_per_fwd / dt
         tf = (unet_forward_flops(tile_in, args.width_mult, tile_in_w)
-              * iters * b / dt / 1e12)
-        log(f"  {name} batch={b}{label}: {iters} x {b} fwd in "
-            f"{dt*1e3:.1f} ms (roundtrip {roundtrip*1e3:.1f} ms) -> "
-            f"{tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
-        return tps
+              * n_eff * b / dt / 1e12)
+        frac = rt / (dt + rt)
+        log(f"  {name} batch={b}{label}: {n_eff} x {b} fwd in "
+            f"{dt*1e3:.1f} ms (roundtrip {rt*1e3:.1f} ms = {frac:.1%} of "
+            f"wall; before {rt_before*1e3:.1f} / after {rt_after*1e3:.1f}) "
+            f"-> {tps:.1f} 512^2-tiles/s, ~{tf:.1f} TFLOP/s")
+        if frac > 0.05:
+            log(f"  WARNING roundtrip is {frac:.1%} of wall — measurement "
+                "is tunnel-noise exposed despite min-of-before/after")
+        return tps, rt
 
     def parse_candidate(c):
         """'BxT' (square) or 'BxHxW' (strip/rectangular output tile)."""
@@ -490,78 +748,6 @@ def main():
     else:
         bf16_candidates = int8_candidates = candidates
 
-    def fmt(tout):
-        return f"{tout[0]}x{tout[1]}" if isinstance(tout, tuple) else str(tout)
-
-    def measure_once():
-        """One full sweep. Returns (best, best_mode, bf16_ctrl, quant_best):
-        bf16_ctrl is the session's bf16 control measurement (0.0 if the arm
-        was skipped or failed), quant_best the best int8/int4 variant."""
-        best, best_mode, bf16_ctrl, quant_best = 0.0, "bf16", 0.0, 0.0
-        for b, tout in ([] if args.skip_bf16 else bf16_candidates):
-            got = False
-            for attempt in (1, 2):
-                try:
-                    tps = bench_batch(b, tout)
-                    bf16_ctrl = max(bf16_ctrl, tps)
-                    if tps > best:
-                        best, best_mode = tps, f"bf16-{b}x{fmt(tout)}"
-                    got = True
-                    break
-                except Exception as e:  # flaky remote-compile / OOM: retry,
-                    log(f"  out={tout} batch={b} attempt {attempt} failed: "
-                        f"{type(e).__name__}: {str(e)[:200]}")
-            if got and fallbacks:
-                break
-        if args.dtype == "bfloat16" and not args.no_int8:
-            # variant = (phase_level0, int4): the int4 arms ride phase-int8
-            # level 0 (the production level-0 formulation) + w4a4 mid-depth
-            phase_variants = {"off": [(None, False)], "bf16": [("bf16", False)],
-                              "int8": [("int8", False)],
-                              "ab": [(None, False), ("int8", False)],
-                              "int4": [("int8", True)],
-                              "ab4": [("int8", False), ("int8", True)],
-                              }[args.phase]
-            # Per-VARIANT fallback: each phase arm keeps descending the
-            # candidate list until it succeeds — one arm's success must not
-            # suppress the other's fallback, or an 'ab' run degrades into a
-            # silent one-armed comparison.
-            done_variants = set()
-            for b, tout in int8_candidates:
-                out_max = max(tout) if isinstance(tout, tuple) else tout
-                for impl in args.int8_impls.split(","):
-                    for phv, i4 in phase_variants:
-                        if fallbacks and (impl, phv, i4) in done_variants:
-                            continue
-                        if fallbacks and doomed_candidate(phv, out_max):
-                            continue
-                        # same 2-attempt retry as bf16: the remote compile
-                        # helper 500s intermittently, and one transient
-                        # failure must not silently drop the headline mode
-                        for attempt in (1, 2):
-                            try:
-                                bits = "int4" if i4 else "int8"
-                                tag = (f"{bits}-{impl}" if phv is None
-                                       else f"{bits}-{impl}+phase:{phv}")
-                                tps = bench_batch(
-                                    b, tout,
-                                    apply_fn=make_int8_apply(impl, phv, i4),
-                                    label=f" {tag}")
-                                quant_best = max(quant_best, tps)
-                                if tps > best:
-                                    best, best_mode = (tps,
-                                                       f"{tag}-{b}x{fmt(tout)}")
-                                done_variants.add((impl, phv, i4))
-                                break
-                            except Exception as e:
-                                log(f"  {bits} {impl} {b}x{tout} phase={phv} "
-                                    f"attempt {attempt} failed: "
-                                    f"{type(e).__name__}: {str(e)[:200]}")
-                if fallbacks and len(done_variants) == (
-                        len(phase_variants) * len(args.int8_impls.split(","))):
-                    break
-        return best, best_mode, bf16_ctrl, quant_best
-
     # Self-defense against degraded chip windows (the pooled chip varies up
     # to 25x between sessions, CLAUDE.md): the health gate is the WORKLOAD
     # itself — a measurement below HEALTHY_FRACTION of the best healthy
@@ -572,14 +758,25 @@ def main():
     gated = (not args.candidates and not args.batch and not args.no_int8
              and not args.skip_bf16 and args.dtype == "bfloat16"
              and not args.pair0 and not args.fused and args.width_mult == 1
+             and args.base_width == 64
              and args.int8_impls == "xla" and args.phase == "int8")
     healthy_ref = healthy_reference("infer")
     ratio_ref = healthy_reference("infer", field="control_ratio")
+    emitter = Emitter(
+        metric="overlap-tile inference throughput (512x512 tiles, U-Net, "
+               "best of bf16 / int8-quantized serving)",
+        value=None, unit="tiles/sec/chip", vs_baseline=None, mode=None,
+        window="pending", attempts=[], healthy_reference=healthy_ref,
+        control_bf16=None, control_ratio=None,
+        control_ratio_reference=round(ratio_ref, 4),
+        control_ratio_attempts=[], roundtrip_ms=None)
     attempts, ratios = [], []
-    best, best_mode = 0.0, "bf16"
+    best, best_mode = 0.0, None
     control_ratio = control_bf16 = None
     for _ in range(3 if gated else 1):
-        tps, mode, bf16_ctrl, quant_best = measure_once()
+        tps, mode, bf16_ctrl, quant_best, rt = run_sweep(
+            args, bf16_candidates, int8_candidates, bench_batch,
+            make_int8_apply, emitter, deadline, fallbacks)
         attempts.append(tps)
         ratio = (quant_best / bf16_ctrl
                  if bf16_ctrl > 0 and quant_best > 0 else None)
@@ -587,6 +784,14 @@ def main():
         if tps > best:
             best, best_mode = tps, mode
             control_ratio, control_bf16 = ratio, bf16_ctrl or None
+        emitter.update(
+            attempts=[round(a, 1) for a in attempts],
+            control_ratio=(round(control_ratio, 4) if control_ratio
+                           else None),
+            control_bf16=(round(control_bf16, 2) if control_bf16 else None),
+            control_ratio_attempts=[None if r is None else round(r, 3)
+                                    for r in ratios])
+        emitter.provisional()
         if not gated:
             break
         # Two-signal gate (VERDICT r3 item 3): the absolute number catches
@@ -596,6 +801,10 @@ def main():
         abs_ok = tps >= HEALTHY_FRACTION * healthy_ref
         ratio_ok = ratio is None or ratio >= RATIO_FRACTION * ratio_ref
         if abs_ok and ratio_ok:
+            break
+        if not deadline.ok(GATE_RERUN_EST_S):
+            log(f"deadline ({deadline.remaining():.0f}s left): skipping the "
+                "gate re-run pause; reporting the degraded window")
             break
         log(f"measurement {tps:.1f} tiles/s (control ratio "
             f"{'n/a' if ratio is None else f'{ratio:.3f}'}) below gate "
@@ -626,23 +835,10 @@ def main():
         }))
         sys.exit(1)
 
-    baseline = 1000.0
-    print(json.dumps({
-        "metric": "overlap-tile inference throughput (512x512 tiles, U-Net, "
-                  "best of bf16 / int8-quantized serving)",
-        "value": round(best, 2),
-        "unit": "tiles/sec/chip",
-        "vs_baseline": round(best / baseline, 4),
-        "mode": best_mode,
-        "window": window,
-        "attempts": [round(a, 1) for a in attempts],
-        "healthy_reference": healthy_ref,
-        "control_bf16": (round(control_bf16, 2) if control_bf16 else None),
-        "control_ratio": (round(control_ratio, 4) if control_ratio else None),
-        "control_ratio_reference": round(ratio_ref, 4),
-        "control_ratio_attempts": [None if r is None else round(r, 3)
-                                   for r in ratios],
-    }))
+    emitter.update(value=round(best, 2),
+                   vs_baseline=round(best / 1000.0, 4),
+                   mode=best_mode, window=window)
+    emitter.final()
 
 
 if __name__ == "__main__":
