@@ -168,6 +168,41 @@ def test_fit_resume(tmp_path):
     assert hist["loss"][:2] == pytest.approx(hist1["loss"], rel=1e-6)
 
 
+def test_fit_double_resume(tmp_path):
+    # VERDICT r4 item 8: resume, preempt again, resume — the curves must be
+    # contiguous through BOTH resumes. The second resume preloads a
+    # metrics.jsonl that itself already spans a resume, which is the case
+    # the single-resume regression tests never exercised.
+    data = synthetic_dataset(n_images=2, h=64, w=64, n_cells=2, crop=20, seed=1)
+    ds = DatasetConfig(name="synthetic", crop=20, metric="iou",
+                       weight_mode="class_balance", goal=0.999,
+                       goal_direction="max")
+    kwargs = dict(
+        model_cfg=ModelConfig(base_width=2),
+        train_cfg=TrainConfig(batch_size=2, epochs=1, checkpoint_every=1),
+        aug_cfg=AugmentConfig(crop=20),
+        loss_cfg=LossConfig(weight_mode="class_balance"),
+        out_dir=str(tmp_path / "run"),
+        verbose=False,
+    )
+    hist1 = Trainer(ds, **kwargs).fit(data, data, epochs=1)
+    hist2 = Trainer(ds, **kwargs).fit(data, data, epochs=3, resume=True)
+    hist3 = Trainer(ds, **kwargs).fit(data, data, epochs=5, resume=True)
+    assert len(hist3["loss"]) == 6  # epochs 0..5 across two resumes
+    assert hist2["loss"][:2] == pytest.approx(hist1["loss"], rel=1e-6)
+    assert hist3["loss"][:4] == pytest.approx(hist2["loss"], rel=1e-6)
+    # the on-disk curve spans the whole run, matching in-memory history
+    curve = np.loadtxt(tmp_path / "run" / "progress" / "loss.out")
+    assert curve.shape == (6,)
+    assert curve == pytest.approx(np.asarray(hist3["loss"]), rel=1e-6)
+    # metrics.jsonl epoch numbering is contiguous (no truncation, no dupes)
+    import json
+
+    with open(tmp_path / "run" / "progress" / "metrics.jsonl") as f:
+        epochs = [json.loads(line)["epoch"] for line in f]
+    assert epochs == list(range(6))
+
+
 def test_fit_stops_on_goal(tmp_path):
     # Goal-triggered early stopping (intended when_to_stop semantics,
     # reference trainer.py:18-28, 185-214): an immediately-satisfiable goal
