@@ -489,6 +489,9 @@ def main():
                          "retries / control arm / gate-rerun pauses are "
                          "skipped and the best-so-far number is finalized. "
                          "<= 0 disables")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent compilation cache "
+                         "(.jax_cache/) — used by the cache A/B probe")
     ap.add_argument("--no-int8", action="store_true",
                     help="skip the int8-quantized serving candidate")
     ap.add_argument("--skip-bf16", action="store_true",
@@ -542,6 +545,22 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_compile_cache:
+        # Persistent compilation cache (VERDICT r4 item 2): compiles are the
+        # bulk of the bench's driver-budget exposure (26-190 s per workload
+        # per process). If the backend can't serialize executables JAX
+        # degrades to no-cache with a warning — harmless either way.
+        import os as _os
+
+        cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+        try:
+            _os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception as e:
+            log(f"compile cache unavailable: {type(e).__name__}: {e}")
 
     import jax.numpy as jnp
     import numpy as np

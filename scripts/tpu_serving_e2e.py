@@ -1,0 +1,173 @@
+"""End-to-end serving engine measurement (VERDICT r4 item 6) — ONE session.
+
+The gated bench measures the device-resident scan (quantized forward over
+pre-generated device tiles); the production user journey is evaluate()
+(reference tester.py:13-58 is the reference's only serving path):
+square-crop, normalize, mirror-pad, tile, quantized forward, stitch,
+argmax, per-image metrics, host readback, progress files. This script
+measures BOTH in one chip window and attributes the gap:
+
+  1. kernel-level: adaptive-reps readback timing of the quantized batch-16
+     forward at the ENGINE-MATCHED shape (700^2-in / 516-out: a 512^2 image
+     tiles 1:1), and at the 16x1268 headline shape for a same-window anchor
+     to the gated bench record.
+  2. engine-level: wall time of evaluate(quant='int8-phase') over n=16
+     synthetic 512^2 images, engines warm (median of 3 calls).
+  3. attribution: TileInference.predict_batch alone (device+stitch+argmax,
+     scalar-readback sync), the host fetch of the preds array (the axon
+     tunnel's ~10 MB/s is a container artifact, not framework overhead),
+     and the residual (metrics + python dispatch).
+
+Usage: timeout 2400 python scripts/tpu_serving_e2e.py [--n 16] [--skip-1268]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--skip-1268", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--base-width", type=int, default=64)
+    ap.add_argument("--out", default="results/r5/serving_e2e.json")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_unet.config import ModelConfig
+    from tpu_unet.data import synthetic_dataset
+    from tpu_unet.infer.quant import build_quant_inference, calibration_batch
+    from tpu_unet.infer.tester import evaluate
+    from tpu_unet.infer.tiles import TileInference
+    from tpu_unet.models import UNet
+    from tpu_unet.utils.profiling import measure_roundtrip, timeit_readback
+
+    log(f"device: {jax.devices()[0]}; establishing session ...")
+    float(jnp.zeros(()).sum())
+    rt = measure_roundtrip()
+    log(f"roundtrip {rt*1e3:.1f} ms")
+
+    cfg = ModelConfig(base_width=args.base_width, compute_dtype="bfloat16")
+    model = UNet(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 188, 188, 1), jnp.float32))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    data = synthetic_dataset(n_images=args.n, h=512, w=512, n_cells=8,
+                             crop=388, seed=0)
+    rec = {"n_images": args.n, "roundtrip_ms": round(rt * 1e3, 1)}
+
+    # ---- 1. kernel-level, engine-matched shape (16 x 516-out) -------------
+    calib = calibration_batch([np.asarray(data.images[i])
+                               for i in range(min(4, args.n))])
+    log("calibrating + quantizing (phase-int8) ...")
+    qi = build_quant_inference(model, params, calib, min_channels=128,
+                               phase_level0="int8")
+    tiles516 = jax.random.uniform(jax.random.PRNGKey(1),
+                                  (args.n, 700, 700, 1), jnp.float32)
+    log(f"kernel-level: quantized forward {args.n}x700^2 (516-out) ...")
+    d516 = timeit_readback(lambda t: qi.apply(t), tiles516)
+    k516 = args.n * (516.0 ** 2 / 512.0 ** 2) / d516
+    rec["kernel_516_tiles_s"] = round(k516, 1)
+    log(f"  {d516*1e3:.1f} ms/call -> {k516:.1f} 512^2-tiles/s "
+        "(516^2 valid output per forward)")
+
+    # ---- 1b. headline-shape anchor (16 x 1268-out), same window -----------
+    if not args.skip_1268:
+        try:
+            t1268 = jax.random.uniform(jax.random.PRNGKey(2),
+                                       (16, 1452, 1452, 1), jnp.float32)
+            log("kernel-level: quantized forward 16x1452^2 (1268-out) ...")
+            d1268 = timeit_readback(lambda t: qi.apply(t), t1268)
+            k1268 = 16 * (1268.0 ** 2 / 512.0 ** 2) / d1268
+            rec["kernel_1268_tiles_s"] = round(k1268, 1)
+            log(f"  {d1268*1e3:.1f} ms/call -> {k1268:.1f} 512^2-tiles/s "
+                "(headline-shape same-window anchor)")
+            del t1268
+        except Exception as e:
+            log(f"  1268 anchor failed: {type(e).__name__}: {str(e)[:200]}")
+
+    # ---- 2. engine-level: the full evaluate() journey ---------------------
+    log("engine-level: evaluate(quant='int8-phase') compile+first call ...")
+    t0 = time.perf_counter()
+    m = evaluate(model, params, data, quant="int8-phase", verbose=False)
+    log(f"  first call {time.perf_counter() - t0:.1f}s "
+        f"(iou {m['iou_mean']:.4f})")
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        evaluate(model, params, data, quant="int8-phase", verbose=False)
+        walls.append(time.perf_counter() - t0)
+    e2e = float(np.median(walls))
+    # each 512^2 image is one 512^2-tile unit of useful output
+    e2e_tps = args.n / e2e
+    rec["engine_e2e_s"] = round(e2e, 3)
+    rec["engine_e2e_tiles_s"] = round(e2e_tps, 1)
+    log(f"  warm evaluate: {e2e:.2f}s for {args.n} images -> "
+        f"{e2e_tps:.1f} tiles/s (walls {['%.2f' % w for w in walls]})")
+
+    # ---- 3. attribution ---------------------------------------------------
+    eng = TileInference(model, 512, 512,
+                        apply_fn=lambda p, t: qi.apply(t))
+    preds = eng.predict_batch(params, np.asarray(data.images,
+                                                 dtype=np.float32))
+    float(jnp.sum(preds))
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        preds = eng.predict_batch(params, np.asarray(data.images,
+                                                     dtype=np.float32))
+        float(jnp.sum(preds))
+        walls.append(time.perf_counter() - t0 - rt)
+    t_predict = float(np.median(walls))
+    rec["predict_batch_s"] = round(t_predict, 3)
+    rec["predict_batch_tiles_s"] = round(args.n / t_predict, 1)
+    log(f"  predict_batch (pad+tile+fwd+stitch+argmax, device): "
+        f"{t_predict:.2f}s -> {args.n/t_predict:.1f} tiles/s")
+
+    t0 = time.perf_counter()
+    host = np.asarray(preds)
+    t_fetch = time.perf_counter() - t0
+    rec["preds_fetch_s"] = round(t_fetch, 3)
+    rec["preds_mb"] = round(host.nbytes / 1e6, 1)
+    log(f"  preds host fetch: {host.nbytes/1e6:.1f} MB in {t_fetch:.2f}s "
+        f"({host.nbytes/1e6/max(t_fetch,1e-9):.1f} MB/s — tunnel artifact)")
+
+    resid = e2e - t_predict - t_fetch
+    rec["residual_s"] = round(resid, 3)
+    # equal-work comparison: both the kernel call and one warm evaluate()
+    # run exactly n quantized 700^2 forwards — the fraction of evaluate()'s
+    # wall that is NOT the kernel is the engine overhead
+    rec["overhead_fraction_vs_kernel"] = round(1 - d516 / e2e, 4)
+    rec["overhead_fraction_ex_fetch"] = round(
+        1 - d516 / max(e2e - t_fetch, 1e-9), 4)
+    log(f"  residual (metrics + dispatch): {resid:.2f}s")
+    log(f"  overhead vs matched-shape kernel: "
+        f"{rec['overhead_fraction_vs_kernel']:.1%} total, "
+        f"{rec['overhead_fraction_ex_fetch']:.1%} excluding the tunnel "
+        "fetch")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
