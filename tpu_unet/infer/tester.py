@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from tpu_unet.data.ingest import SegmentationData, square_crop
 from tpu_unet.infer.tiles import TileInference
-from tpu_unet.losses.metrics import evaluation_metrics
+from tpu_unet.losses.metrics import batch_evaluation_metrics
 
 
 def _save_tiff(path: str, array: np.ndarray) -> None:
@@ -176,15 +176,21 @@ def evaluate(
         engine = _get_engine(model, shape[0], shape[1], tile_out,
                              apply_fn=apply_fn, qkey=qkey)
         imgs = np.stack([prepared[i][0] for i in indices])
-        preds = np.asarray(engine.predict_batch(params, imgs))
+        preds_dev = engine.predict_batch(params, imgs)
+        labels = np.stack([(prepared[i][1] > 127).astype(np.int32)
+                           for i in indices])
+        # ONE vmapped metrics dispatch per shape group — a per-image loop
+        # pays two tunnel roundtrips per image on the remote backend, which
+        # dominated the warm evaluate() wall (results/r5/serving_e2e.json).
+        # Predictions only cross to the host when they are exported.
+        ms = np.asarray(batch_evaluation_metrics(preds_dev,
+                                                 jnp.asarray(labels)))
+        preds = np.asarray(preds_dev) if output_dir is not None else None
         for k, idx in enumerate(indices):
-            label = (prepared[idx][1] > 127).astype(np.int32)
-            m = np.asarray(evaluation_metrics(jnp.asarray(preds[k]),
-                                              jnp.asarray(label)))
-            per_image[idx] = m
+            per_image[idx] = ms[k]
             if output_dir is not None:
                 export_predictions(output_dir, idx, prepared[idx][0],
-                                   label * 255, preds[k] * 255)
+                                   labels[k] * 255, preds[k] * 255)
     metrics = np.stack(per_image)                      # [N, 2]
     result = {
         "iou_mean": float(np.nanmean(metrics[:, 0])),
