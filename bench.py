@@ -121,6 +121,21 @@ class Emitter:
         self._print(dict(self.state))
 
 
+def scan_length(need: float, rungs=(12, 24, 48)) -> int:
+    """Smallest rung >= `need` (top rung if none). The scan length is part
+    of the traced graph's shape; quantizing it to a ladder keeps the
+    program deterministic across sessions so the persistent compilation
+    cache hits — a free-running roundtrip-adaptive length re-paid an 85 s
+    compile with a warm cache on disk (results/r5/bench_default_r5b.log,
+    scan-12 vs run 1's scan-10). Normal-window pings land on the first
+    rung; degraded tunnels climb the ladder to keep the roundtrip
+    subtraction < ~3% of the timed wall."""
+    for n in rungs:
+        if n >= need:
+            return n
+    return rungs[-1]
+
+
 def doomed_candidate(phase_level0, out_max: int) -> bool:
     """True when a serving candidate is known-uncompilable for the variant,
     so the fallback descent skips it instead of burning two doomed 30-60 s
@@ -379,8 +394,11 @@ def bench_train(args, model, cfg, deadline):
     key0 = jax.random.PRNGKey(1)
     # Scan length sized so the roundtrip subtraction stays under ~3% of the
     # timed wall even on a degraded tunnel (VERDICT r4 weak 2): assume an
-    # optimistic 40 ms/step; cap to bound per-measurement wall at ~3 s.
-    n = min(64, max(args.iters, int(np.ceil(rt0 / 0.03 / 0.040))))
+    # optimistic 40 ms/step. Quantized to the ladder (scan_length) so the
+    # traced graph is deterministic across sessions and the persistent
+    # compilation cache hits.
+    need = max(args.iters, int(np.ceil(rt0 / 0.03 / 0.040)))
+    n = scan_length(need, rungs=(32, 48, 64))
     log(f"scan length {n} steps/epoch (roundtrip-fraction sizing)")
 
     @jax.jit
@@ -547,20 +565,18 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if not args.no_compile_cache:
         # Persistent compilation cache (VERDICT r4 item 2): compiles are the
-        # bulk of the bench's driver-budget exposure (26-190 s per workload
-        # per process). If the backend can't serialize executables JAX
-        # degrades to no-cache with a warning — harmless either way.
+        # bulk of the bench's driver-budget exposure, and the cache is a
+        # measured 10x cross-process win on this backend (16.3s -> 1.6s,
+        # results/r5/cache_probe_run2.txt). Repo-local dir so the driver's
+        # bench run inherits the warm entries from the round's sessions.
         import os as _os
 
-        cache_dir = _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
-        try:
-            _os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              2.0)
-        except Exception as e:
-            log(f"compile cache unavailable: {type(e).__name__}: {e}")
+        from tpu_unet.utils.cache import enable_persistent_compilation_cache
+
+        got = enable_persistent_compilation_cache(_os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+        if got is None:
+            log("compile cache unavailable; continuing with cold compiles")
 
     import jax.numpy as jnp
     import numpy as np
@@ -638,10 +654,10 @@ def main():
         # sizing never grows the buffer.
         distinct = max(3, min(args.iters,
                               int(6e8 / (b * tile_in * tile_in_w * 4))))
-        n_eff = max(args.iters, distinct,
-                    int(np.ceil(rt_before / 0.03
-                                / (b * tiles_per_fwd * 0.002))))
-        n_eff = min(n_eff, 48)
+        need = max(args.iters, distinct,
+                   int(np.ceil(rt_before / 0.03
+                               / (b * tiles_per_fwd * 0.002))))
+        n_eff = scan_length(need)
         idxs = jnp.arange(n_eff, dtype=jnp.int32) % distinct
 
         @jax.jit

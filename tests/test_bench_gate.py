@@ -257,3 +257,16 @@ def test_run_sweep_retries_transient_failure_once(capsys):
         lambda *a: "apply", em, bench.Deadline(0), fallbacks=True)
     assert len(attempts) == 2 and qbest == 400.0
     capsys.readouterr()
+
+
+def test_scan_length_ladder_deterministic():
+    # normal-window pings (~28-40 ms) must all land on the same rung —
+    # the scan length is part of the traced graph, so session-dependent
+    # lengths defeat the persistent compilation cache (the r5b 85 s
+    # warm-cache recompile, results/r5/bench_default_r5b.log)
+    for need in (5, 7.8, 10, 10.3, 12):
+        assert bench.scan_length(need) == 12
+    assert bench.scan_length(13) == 24
+    assert bench.scan_length(25.5) == 48
+    assert bench.scan_length(400) == 48          # top rung caps
+    assert bench.scan_length(33, rungs=(32, 48, 64)) == 48

@@ -81,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps/s (+41%%) same-session on v5e "
                         "(results/r3/phase_train_ab.txt); "
                         "--no-phase-level0 restores the canonical layout")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation-cache directory "
+                        "(default: $TPU_UNET_COMPILE_CACHE or "
+                        "~/.cache/tpu_unet/jax_cache). Measured 16.3s -> "
+                        "1.6s cross-process compile on the v5e backend "
+                        "(results/r5/cache_probe_run2.txt); makes -sf "
+                        "resume-after-preemption recompile from disk in "
+                        "seconds. --no-compile-cache disables")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent compilation cache")
     p.add_argument("--nan-check", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -133,6 +143,10 @@ def main(argv: Optional[list] = None) -> int:
     if args.platform == "cpu":
         import jax as _jax
         _jax.config.update("jax_platforms", "cpu")
+
+    if not args.no_compile_cache:
+        from tpu_unet.utils.cache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache(args.compile_cache)
 
     from tpu_unet.config import (
         DATASETS,
