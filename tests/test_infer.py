@@ -166,3 +166,23 @@ def test_strip_tiles_match_whole_image(tiny_model):
     b = np.asarray(strip.predict_logits(params, img))
     assert a.shape == b.shape == (52, 68, 2)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_evaluate_batch_fused_matches_two_step(tiny_model):
+    """The one-dispatch serving metrics path (engine forward + argmax +
+    metrics fused into a single jitted program, uint8 labels — the r5 e2e
+    fix, results/r5/serving_e2e.json) must be bit-identical to the
+    two-step predict_batch + batch_evaluation_metrics composition."""
+    from tpu_unet.losses.metrics import batch_evaluation_metrics
+
+    model, params = tiny_model
+    eng = TileInference(model, 96, 96)
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(3, 96, 96).astype(np.float32)
+    labels = (rng.rand(3, 96, 96) > 0.5).astype(np.uint8)
+    preds_ref = np.asarray(eng.predict_batch(params, imgs))
+    ms_ref = np.asarray(batch_evaluation_metrics(
+        jnp.asarray(preds_ref), jnp.asarray(labels.astype(np.int32))))
+    ms, preds = eng.evaluate_batch(params, imgs, labels)
+    assert np.array_equal(preds_ref, np.asarray(preds))
+    assert np.allclose(ms_ref, np.asarray(ms), equal_nan=True)

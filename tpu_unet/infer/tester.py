@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from tpu_unet.data.ingest import SegmentationData, square_crop
 from tpu_unet.infer.tiles import TileInference
-from tpu_unet.losses.metrics import batch_evaluation_metrics
 
 
 def _save_tiff(path: str, array: np.ndarray) -> None:
@@ -176,15 +175,16 @@ def evaluate(
         engine = _get_engine(model, shape[0], shape[1], tile_out,
                              apply_fn=apply_fn, qkey=qkey)
         imgs = np.stack([prepared[i][0] for i in indices])
-        preds_dev = engine.predict_batch(params, imgs)
-        labels = np.stack([(prepared[i][1] > 127).astype(np.int32)
-                           for i in indices])
-        # ONE vmapped metrics dispatch per shape group — a per-image loop
-        # pays two tunnel roundtrips per image on the remote backend, which
-        # dominated the warm evaluate() wall (results/r5/serving_e2e.json).
+        labels = np.stack([(prepared[i][1] > 127) for i in indices]
+                          ).astype(np.uint8)
+        # ONE jitted dispatch per shape group for the whole journey
+        # (pad -> tile -> forward -> stitch -> argmax -> metrics) with a
+        # uint8 label upload: the r5 e2e measurement found the eager
+        # metrics ops paying one ~44 ms tunnel dispatch EACH and int32
+        # labels paying 4x their content (results/r5/serving_e2e.json).
         # Predictions only cross to the host when they are exported.
-        ms = np.asarray(batch_evaluation_metrics(preds_dev,
-                                                 jnp.asarray(labels)))
+        ms_dev, preds_dev = engine.evaluate_batch(params, imgs, labels)
+        ms = np.asarray(ms_dev)
         preds = np.asarray(preds_dev) if output_dir is not None else None
         for k, idx in enumerate(indices):
             per_image[idx] = ms[k]
