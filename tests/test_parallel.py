@@ -319,3 +319,26 @@ def test_mesh_sharded_phase_inference_matches_single_device(tiny):
     a = np.asarray(single.predict_logits(params, img))
     b = np.asarray(meshed.predict_logits(replicate(params, mesh), img))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_evaluate_batch_matches_single_device(tiny):
+    # The fused one-dispatch serving metrics path (tiles.evaluate_batch,
+    # the r5 e2e fix) must compose with mesh-sharded tiles exactly like
+    # predict: same per-image (iou, pe) and preds as the single-device
+    # engine.
+    from tpu_unet.infer import TileInference
+
+    model, params = tiny
+    rng = np.random.RandomState(12)
+    imgs = rng.rand(2, 72, 72).astype(np.float32)
+    labels = (rng.rand(2, 72, 72) > 0.5).astype(np.uint8)
+    single = TileInference(model, 72, 72, tile_out=36, batch_tiles=4)
+    mesh = make_mesh(4)
+    meshed = TileInference(model, 72, 72, tile_out=36, batch_tiles=4,
+                           mesh=mesh)
+    ms_a, preds_a = single.evaluate_batch(params, imgs, labels)
+    ms_b, preds_b = meshed.evaluate_batch(replicate(params, mesh), imgs,
+                                          labels)
+    np.testing.assert_array_equal(np.asarray(preds_a), np.asarray(preds_b))
+    np.testing.assert_allclose(np.asarray(ms_a), np.asarray(ms_b),
+                               rtol=1e-6, atol=1e-7)
