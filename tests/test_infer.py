@@ -186,3 +186,34 @@ def test_evaluate_batch_fused_matches_two_step(tiny_model):
     ms, preds = eng.evaluate_batch(params, imgs, labels)
     assert np.array_equal(preds_ref, np.asarray(preds))
     assert np.allclose(ms_ref, np.asarray(ms), equal_nan=True)
+
+
+def test_evaluate_pins_eval_set_across_calls(tiny_model, monkeypatch):
+    """Eval-set pinning (r5 e2e fix part 2): host prep + device upload run
+    once per dataset; repeat evaluate() calls reuse the pinned entry and
+    return identical metrics. The cache must key on object identity with a
+    strong reference (no id-aliasing) and respect its FIFO cap."""
+    from tpu_unet.data import synthetic_dataset
+    from tpu_unet.infer import tester
+
+    model, params = tiny_model
+    data = synthetic_dataset(n_images=2, h=96, w=96, n_cells=3, crop=64,
+                             seed=3)
+    tester._DATA_CACHE.clear()
+    calls = []
+    real = tester.square_crop
+    monkeypatch.setattr(tester, "square_crop",
+                        lambda img, gt: calls.append(1) or real(img, gt))
+    m1 = evaluate(model, params, data, verbose=False)
+    n_prep = len(calls)
+    assert n_prep == len(data)
+    m2 = evaluate(model, params, data, verbose=False)
+    assert len(calls) == n_prep                      # no re-prep
+    for k in ("iou_mean", "pe_mean"):
+        assert m1[k] == m2[k]
+    # FIFO cap: a stream of fresh datasets cannot grow the cache unboundedly
+    for seed in (4, 5, 6):
+        d = synthetic_dataset(n_images=1, h=96, w=96, n_cells=2, crop=64,
+                              seed=seed)
+        evaluate(model, params, d, verbose=False)
+    assert len(tester._DATA_CACHE) <= tester._DATA_CACHE_CAP

@@ -49,6 +49,48 @@ def export_predictions(output_dir: str, idx: int, image: np.ndarray,
 _ENGINE_CACHE: Dict[tuple, TileInference] = {}
 _QUANT_CACHE: Dict[tuple, object] = {}
 
+# Eval-set pinning (the r5 e2e fix, part 2): after the device path was fused
+# to one dispatch, a warm evaluate() was still ~78% host-side numpy re-prep
+# (crops, stacks, label thresholding) re-done per call
+# (results/r5/serving_e2e_fused.txt: evaluate_batch 0.48 s vs evaluate
+# 2.16 s). The prepared host arrays AND their device-resident uploads are
+# cached per dataset object — the standard eval-set-resident pattern the
+# trainer already uses for its val split. Entries hold a strong reference to
+# `data` (so an id() key can never alias a new object) and pin the stacks in
+# HBM (~2 x dataset bytes); capped FIFO.
+_DATA_CACHE: Dict[int, dict] = {}
+_DATA_CACHE_CAP = 2
+
+
+def _prepared_groups(data: SegmentationData) -> dict:
+    """Square-crop, shape-group, stack, and device-upload an eval set once;
+    cached across evaluate() calls (see _DATA_CACHE above)."""
+    entry = _DATA_CACHE.get(id(data))
+    if entry is not None and entry["data"] is data:
+        return entry
+    prepared = [square_crop(data.images[i], data.targets[i])
+                for i in range(len(data))]
+    groups: Dict[tuple, list] = {}
+    for idx, (img, _tgt) in enumerate(prepared):
+        groups.setdefault(img.shape, []).append(idx)
+    packed = {}
+    for shape, indices in groups.items():
+        imgs = np.stack([prepared[i][0] for i in indices]).astype(np.float32)
+        labels = (np.stack([prepared[i][1] for i in indices])
+                  > 127).astype(np.uint8)
+        packed[shape] = {
+            "indices": indices,
+            "imgs_dev": jnp.asarray(imgs),
+            "labels_dev": jnp.asarray(labels),
+            "imgs": imgs,
+            "labels": labels,
+        }
+    entry = {"data": data, "prepared": prepared, "packed": packed}
+    while len(_DATA_CACHE) >= _DATA_CACHE_CAP:
+        _DATA_CACHE.pop(next(iter(_DATA_CACHE)))
+    _DATA_CACHE[id(data)] = entry
+    return entry
+
 
 def _get_engine(model, h: int, w: int, tile_out: Optional[int],
                 apply_fn=None, qkey=None) -> TileInference:
@@ -151,12 +193,10 @@ def evaluate(
     never re-calibrate.
     """
     start = time.time()
-    # Group same-shaped frames so each shape runs as ONE vmapped program.
-    prepared = [square_crop(data.images[i], data.targets[i])
-                for i in range(len(data))]
-    groups: Dict[tuple, list] = {}
-    for idx, (img, tgt) in enumerate(prepared):
-        groups.setdefault(img.shape, []).append(idx)
+    # Group same-shaped frames so each shape runs as ONE vmapped program;
+    # host prep + device upload cached per dataset (_prepared_groups).
+    entry = _prepared_groups(data)
+    prepared = entry["prepared"]
 
     apply_fn, qkey = None, None
     if quant in ("int8", "int8-phase", "int4", "int4-phase"):
@@ -171,26 +211,26 @@ def evaluate(
             f"'int4-phase', got {quant!r}")
 
     per_image = [None] * len(data)
-    for shape, indices in groups.items():
+    for shape, group in entry["packed"].items():
         engine = _get_engine(model, shape[0], shape[1], tile_out,
                              apply_fn=apply_fn, qkey=qkey)
-        imgs = np.stack([prepared[i][0] for i in indices])
-        labels = np.stack([(prepared[i][1] > 127) for i in indices]
-                          ).astype(np.uint8)
+        indices = group["indices"]
         # ONE jitted dispatch per shape group for the whole journey
-        # (pad -> tile -> forward -> stitch -> argmax -> metrics) with a
-        # uint8 label upload: the r5 e2e measurement found the eager
-        # metrics ops paying one ~44 ms tunnel dispatch EACH and int32
-        # labels paying 4x their content (results/r5/serving_e2e.json).
-        # Predictions only cross to the host when they are exported.
-        ms_dev, preds_dev = engine.evaluate_batch(params, imgs, labels)
+        # (pad -> tile -> forward -> stitch -> argmax -> metrics) over the
+        # pinned device-resident stacks: the r5 e2e measurement found the
+        # eager metrics ops paying one ~44 ms tunnel dispatch EACH, int32
+        # labels paying 4x their content, and the host prep re-running
+        # per call (results/r5/serving_e2e{,_fused}.txt). Predictions only
+        # cross to the host when they are exported.
+        ms_dev, preds_dev = engine.evaluate_batch(
+            params, group["imgs_dev"], group["labels_dev"])
         ms = np.asarray(ms_dev)
         preds = np.asarray(preds_dev) if output_dir is not None else None
         for k, idx in enumerate(indices):
             per_image[idx] = ms[k]
             if output_dir is not None:
                 export_predictions(output_dir, idx, prepared[idx][0],
-                                   labels[k] * 255, preds[k] * 255)
+                                   group["labels"][k] * 255, preds[k] * 255)
     metrics = np.stack(per_image)                      # [N, 2]
     result = {
         "iou_mean": float(np.nanmean(metrics[:, 0])),
