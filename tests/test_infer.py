@@ -217,3 +217,23 @@ def test_evaluate_pins_eval_set_across_calls(tiny_model, monkeypatch):
                               seed=seed)
         evaluate(model, params, d, verbose=False)
     assert len(tester._DATA_CACHE) <= tester._DATA_CACHE_CAP
+
+
+def test_params_fingerprint_memoized_per_identity(tiny_model):
+    """The quant-cache fingerprint must be computed once per params tree
+    (module-level jit + identity memo): a fresh jit closure per call
+    re-traced the whole tree every evaluate() — ~1 s/call on the remote
+    backend (results/r5/serving_e2e_pinned.txt)."""
+    import jax
+
+    from tpu_unet.infer import tester
+
+    model, params = tiny_model
+    tester._FP_MEMO.clear()
+    v1 = tester._params_fingerprint(params)
+    assert tester._FP_MEMO and tester._params_fingerprint(params) == v1
+    # a different tree (same structure) gets its own fingerprint
+    params2 = jax.tree.map(lambda a: a * 2, params)
+    v2 = tester._params_fingerprint(params2)
+    assert v2 != v1
+    assert len(tester._FP_MEMO) <= tester._FP_MEMO_CAP

@@ -102,18 +102,38 @@ def _get_engine(model, h: int, w: int, tile_out: Optional[int],
     return eng
 
 
+_FP_REDUCE = None                     # module-level jit: traced once per
+_FP_MEMO: Dict[int, tuple] = {}       # param-tree structure, not per call
+_FP_MEMO_CAP = 4
+
+
 def _params_fingerprint(params) -> float:
     """Cheap content fingerprint for the quant cache: one jitted reduction
     over the param tree, one scalar readback. Distinguishes retrained /
-    reloaded weights without holding a reference to the tree."""
+    reloaded weights. The jitted reduction lives at module scope (a fresh
+    closure per call re-traced the whole tree every evaluate() — ~1 s/call
+    on the remote backend, results/r5/serving_e2e_pinned.txt) and the
+    result is memoized per tree identity (strong-ref keyed like
+    _DATA_CACHE, FIFO cap) so a pinned eval loop pays it once."""
     import jax
 
-    @jax.jit
-    def fp(p):
-        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
-                   for l in jax.tree_util.tree_leaves(p))
+    memo = _FP_MEMO.get(id(params))
+    if memo is not None and memo[0] is params:
+        return memo[1]
 
-    return float(fp(params))
+    global _FP_REDUCE
+    if _FP_REDUCE is None:
+        @jax.jit
+        def fp(p):
+            return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                       for l in jax.tree_util.tree_leaves(p))
+
+        _FP_REDUCE = fp
+    val = float(_FP_REDUCE(params))
+    while len(_FP_MEMO) >= _FP_MEMO_CAP:
+        _FP_MEMO.pop(next(iter(_FP_MEMO)))
+    _FP_MEMO[id(params)] = (params, val)
+    return val
 
 
 def _get_quant_inference(model, params, prepared, quant_path: Optional[str],
