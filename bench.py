@@ -559,6 +559,23 @@ def main():
 
     deadline = Deadline(args.deadline, start=_PROC_START)
 
+    # Boot line: a parseable pending record BEFORE the session claim. A
+    # pathological claim (r4: ~22 min) followed by a driver kill would
+    # otherwise leave zero JSON on stdout — the exact BENCH_r04 failure.
+    # Every later provisional/final line supersedes it (drivers parse the
+    # LAST line).
+    if args.mode == "train":
+        boot_metric = "fused train step (HeLa config: augment+EDT weights+bwd+SGD)"
+        boot_unit = f"steps/sec/chip (batch {args.train_batch}, 572-in)"
+    else:
+        boot_metric = ("overlap-tile inference throughput (512x512 tiles, "
+                       "U-Net, best of bf16 / int8-quantized serving)")
+        boot_unit = "tiles/sec/chip"
+    print(json.dumps({"metric": boot_metric, "value": None,
+                      "unit": boot_unit, "vs_baseline": None,
+                      "window": "pending", "attempts": [],
+                      "provisional": True}), flush=True)
+
     import jax
 
     if args.cpu:
