@@ -237,3 +237,25 @@ def test_params_fingerprint_memoized_per_identity(tiny_model):
     v2 = tester._params_fingerprint(params2)
     assert v2 != v1
     assert len(tester._FP_MEMO) <= tester._FP_MEMO_CAP
+
+
+def test_tiled_matches_whole_image_any_size(tiny_model):
+    """Pooling-grid alignment (r5 fix): tile origins are multiples of the
+    2^depth pooling period, so the stitched tiled pass EQUALS the
+    whole-image pass at every image/tile size — including sizes where the
+    old flush-to-edge clamp produced misaligned origins (extent-tile not a
+    multiple of 16), whose tiles evaluated the network at a shifted
+    pooling phase: O(1) logit disagreement, 88% argmax agreement before
+    the fix. Tolerance admits only cross-compilation float noise (~1e-6
+    on the 8-device CPU backend), far below the phase-error scale."""
+    model, params = tiny_model
+    rng = np.random.RandomState(21)
+    for h, w, tout in ((160, 160, 68), (100, 148, 36), (120, 120, 52)):
+        img = rng.rand(h, w).astype(np.float32)
+        tiled = TileInference(model, h, w, tile_out=tout, batch_tiles=4)
+        whole = TileInference(model, h, w)
+        assert all(y % 16 == 0 and x % 16 == 0
+                   for (y, x) in tiled.plan.out_origins)
+        lt = np.asarray(tiled.predict_logits(params, img))
+        lw = np.asarray(whole.predict_logits(params, img))
+        np.testing.assert_allclose(lt, lw, rtol=1e-4, atol=1e-4)

@@ -128,13 +128,24 @@ class TilePlan:
         return t if isinstance(t, tuple) else (t, t)
 
 
-def _tile_starts(extent: int, tile: int) -> List[int]:
-    """Output-window start offsets covering [0, extent) with stride `tile`,
-    last window clamped flush to the edge (standard overlap-tile)."""
+def _tile_starts(extent: int, tile: int, align: int = 2 ** DEPTH) -> List[int]:
+    """Output-window start offsets covering [0, extent), every start a
+    multiple of `align` (one pooling period, 2^depth = 16): the stride is
+    `tile` rounded down to the period and the last start is rounded UP past
+    ``extent - tile`` (the canvas grows past the image and is trimmed after
+    stitching — `plan_tiles`). Aligned starts keep the pooling grid in
+    phase across tiles, so the stitched output EQUALS the whole-image pass;
+    the previous flush-to-edge clamp produced starts like 780 ≡ 12 (mod 16)
+    whose tiles evaluate the network at a shifted pooling phase — each tile
+    valid in isolation but disagreeing with its neighbours in the overlap
+    (measured 88% argmax agreement on a misaligned plan; exact after
+    alignment — tests/test_infer.py::test_tiled_matches_whole_image_any_size)."""
     if extent <= tile:
         return [0]
-    starts = list(range(0, extent - tile, tile))
-    starts.append(extent - tile)
+    stride = max(align, (tile // align) * align)
+    last = -(-(extent - tile) // align) * align
+    starts = list(range(0, last, stride))
+    starts.append(last)
     return starts
 
 
