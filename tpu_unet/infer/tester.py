@@ -75,15 +75,15 @@ def _prepared_groups(data: SegmentationData) -> dict:
         groups.setdefault(img.shape, []).append(idx)
     packed = {}
     for shape, indices in groups.items():
-        imgs = np.stack([prepared[i][0] for i in indices]).astype(np.float32)
+        imgs = np.stack([prepared[i][0]
+                         for i in indices]).astype(np.float32, copy=False)
         labels = (np.stack([prepared[i][1] for i in indices])
                   > 127).astype(np.uint8)
         packed[shape] = {
             "indices": indices,
             "imgs_dev": jnp.asarray(imgs),
             "labels_dev": jnp.asarray(labels),
-            "imgs": imgs,
-            "labels": labels,
+            "labels": labels,             # host copy for TIFF export
         }
     entry = {"data": data, "prepared": prepared, "packed": packed}
     while len(_DATA_CACHE) >= _DATA_CACHE_CAP:
