@@ -127,14 +127,93 @@ class TileInference:
         """[H, W] -> [H, W] int32 class map (argmax, reference tester.py:30)."""
         return jnp.argmax(self.predict_logits(params, image), axis=-1)
 
+    # Flat-batch serving path (r5 attribution, results/r5/tiled_attrib.txt):
+    # vmapping the per-image forward nests the batch (N images x T-tile
+    # chunks) and XLA lowers the nested form at ~208 tiles/s where the SAME
+    # tiles as one flat batch-16 run at ~350+. The fused eval/predict paths
+    # therefore gather tiles across ALL images, run flat chunks of
+    # _FLAT_CHUNK through the model, argmax per tile, and stitch int32 class
+    # maps per image (aligned tiles agree in overlaps — the r5 pooling-phase
+    # fix — so argmax-then-stitch is exact).
+    _FLAT_CHUNK = 16          # the measured MXU-feeding batch at tile shapes
+
+    def _flat_tiles(self, images: jax.Array) -> jax.Array:
+        """[N, H, W] f32 -> [N*T, ti_h, ti_w, 1] gathered input tiles."""
+        p = self.plan
+        ti_h, ti_w = p.tile_in_hw
+
+        def prep(image):
+            if self.normalize:
+                image = (image - jnp.min(image)) / jnp.maximum(
+                    jnp.ptp(image), 1e-12)
+            padded = reflect_pad(
+                image,
+                ((p.pad, p.pad + p.canvas_h - p.image_h),
+                 (p.pad, p.pad + p.canvas_w - p.image_w)),
+            )
+            return jnp.stack([padded[y:y + ti_h, x:x + ti_w]
+                              for (y, x) in p.origins])[..., None]
+
+        return jax.vmap(prep)(images).reshape(-1, ti_h, ti_w, 1)
+
+    def _forward_flat_ids(self, params, flat: jax.Array) -> jax.Array:
+        """[M, ti, ti, 1] -> [M, to_h, to_w] int32 (argmax class ids)."""
+        p = self.plan
+        m = flat.shape[0]
+        c = self._FLAT_CHUNK
+        if self.mesh is not None:
+            c = _round_up(c, self.mesh.shape[self.mesh_axis])
+        c = min(c, m)
+        n_chunks = -(-m // c)
+        pad_m = n_chunks * c - m
+        if pad_m:
+            flat = jnp.concatenate([flat, flat[:pad_m]], axis=0)
+        chunks = flat.reshape(n_chunks, c, *flat.shape[1:])
+
+        def fwd(tile_batch):
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tile_batch = jax.lax.with_sharding_constraint(
+                    tile_batch,
+                    NamedSharding(self.mesh, P(self.mesh_axis)))
+            if self.apply_fn is not None:
+                logits = self.apply_fn(params, tile_batch)
+            else:
+                logits = self.model.apply(params, tile_batch)
+            logits = center_crop_or_pad(logits, p.tile_out_hw)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        if n_chunks == 1:
+            out = fwd(chunks[0])[None]
+        else:
+            out = jax.lax.map(fwd, chunks)
+        to_h, to_w = p.tile_out_hw
+        return out.reshape(n_chunks * c, to_h, to_w)[:m]
+
+    def _stitch_ids(self, tile_ids: jax.Array) -> jax.Array:
+        """[T, to_h, to_w] int32 -> [H, W] int32 stitched class map."""
+        p = self.plan
+        canvas = jnp.zeros((p.canvas_h, p.canvas_w), jnp.int32)
+        for i, (y, x) in enumerate(p.out_origins):
+            canvas = jax.lax.dynamic_update_slice(canvas, tile_ids[i], (y, x))
+        return canvas[:p.image_h, :p.image_w]
+
+    def _predict_ids(self, params, images: jax.Array) -> jax.Array:
+        """[N, H, W] -> [N, H, W] int32 via the flat-batch path."""
+        p = self.plan
+        flat = self._flat_tiles(images)
+        ids = self._forward_flat_ids(params, flat)
+        per = ids.reshape(images.shape[0], p.num_tiles, *p.tile_out_hw)
+        return jax.vmap(self._stitch_ids)(per)
+
     def predict_batch(self, params, images) -> jax.Array:
-        """[N, H, W] -> [N, H, W] int32 class maps — one vmapped program for a
-        whole same-shaped eval set (the evaluation driver batches by shape)."""
+        """[N, H, W] -> [N, H, W] int32 class maps — one jitted program for a
+        whole same-shaped eval set (the evaluation driver batches by shape),
+        flat-batched across images (see _flat_tiles)."""
         if not hasattr(self, "_predict_batch"):
-            self._predict_batch = jax.jit(
-                jax.vmap(self._predict_impl, in_axes=(None, 0)))
-        logits = self._predict_batch(params, jnp.asarray(images, jnp.float32))
-        return jnp.argmax(logits, axis=-1)
+            self._predict_batch = jax.jit(self._predict_ids)
+        return self._predict_batch(params, jnp.asarray(images, jnp.float32))
 
     def evaluate_batch(self, params, images, labels
                        ) -> Tuple[jax.Array, jax.Array]:
@@ -155,9 +234,7 @@ class TileInference:
             from tpu_unet.losses.metrics import batch_evaluation_metrics
 
             def run(params, images, labels):
-                logits = jax.vmap(self._predict_impl,
-                                  in_axes=(None, 0))(params, images)
-                preds = jnp.argmax(logits, axis=-1)
+                preds = self._predict_ids(params, images)
                 return batch_evaluation_metrics(preds, labels), preds
 
             self._evaluate_batch = jax.jit(run)
