@@ -342,3 +342,24 @@ def test_mesh_sharded_evaluate_batch_matches_single_device(tiny):
     np.testing.assert_array_equal(np.asarray(preds_a), np.asarray(preds_b))
     np.testing.assert_allclose(np.asarray(ms_a), np.asarray(ms_b),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_mesh_evaluate_batch_smaller_than_axis(tiny):
+    # Flat-batch edge: an eval set with fewer tiles than mesh devices must
+    # pad its flat chunk up to the axis size (the sharding constraint
+    # needs divisibility) — one whole-image 72^2 frame on a 4-device mesh.
+    from tpu_unet.infer import TileInference
+
+    model, params = tiny
+    rng = np.random.RandomState(13)
+    imgs = rng.rand(1, 72, 72).astype(np.float32)
+    labels = (rng.rand(1, 72, 72) > 0.5).astype(np.uint8)
+    mesh = make_mesh(4)
+    single = TileInference(model, 72, 72)
+    meshed = TileInference(model, 72, 72, mesh=mesh)
+    ms_a, preds_a = single.evaluate_batch(params, imgs, labels)
+    ms_b, preds_b = meshed.evaluate_batch(replicate(params, mesh), imgs,
+                                          labels)
+    np.testing.assert_array_equal(np.asarray(preds_a), np.asarray(preds_b))
+    np.testing.assert_allclose(np.asarray(ms_a), np.asarray(ms_b),
+                               rtol=1e-6, atol=1e-7)

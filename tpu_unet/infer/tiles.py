@@ -162,12 +162,21 @@ class TileInference:
         m = flat.shape[0]
         c = self._FLAT_CHUNK
         if self.mesh is not None:
-            c = _round_up(c, self.mesh.shape[self.mesh_axis])
-        c = min(c, m)
+            # the chunk stays a positive multiple of the mesh axis (the
+            # sharding constraint needs divisibility), padded up from m if
+            # the eval set is smaller than the axis
+            n_dev = self.mesh.shape[self.mesh_axis]
+            c = max(n_dev, min(_round_up(c, n_dev), _round_up(m, n_dev)))
+        else:
+            c = min(c, m)
         n_chunks = -(-m // c)
         pad_m = n_chunks * c - m
         if pad_m:
-            flat = jnp.concatenate([flat, flat[:pad_m]], axis=0)
+            # pad_m can exceed m (eval set smaller than a mesh-axis chunk):
+            # cycle the real tiles as filler
+            reps = -(-pad_m // m)
+            filler = jnp.concatenate([flat] * reps, axis=0)[:pad_m]
+            flat = jnp.concatenate([flat, filler], axis=0)
         chunks = flat.reshape(n_chunks, c, *flat.shape[1:])
 
         def fwd(tile_batch):
